@@ -1,0 +1,141 @@
+"""Exact kNN graph by tiled distance panels + top-k on the MXU.
+
+Replaces the reference's HNSW graph construction
+(hnsw_rs ``parallel_insert`` + src/fromhnsw/kgraph.rs:440
+``kgraph_from_hnsw_all``) for datasets where the full O(n^2 d) distance
+computation is affordable (e.g. MNIST-70k: a 70k x 70k panelized matmul).
+
+Design: queries are processed in row panels of ``block_rows`` under
+``lax.map`` so at most a (block_rows, n) distance panel is live in HBM;
+XLA tiles the inner matmul onto the MXU.  Self edges are masked by index
+(not by distance, which would break on duplicate points).
+
+Precision: the matmul form ||q||^2 + ||x||^2 - 2 q.x suffers
+cancellation at ~1e-3 relative error in float32, enough to swap
+near-tied neighbours.  For DistL2 we therefore select top (k + extra)
+candidates from the panel and re-rank them with exact elementwise
+(q - x)^2 distances (a cheap (b, k+extra, d) gather), giving
+numpy-exact graphs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .distances import get_panel_fn, corpus_sqnorm
+
+_RERANK_EXTRA = 8
+
+
+def _exact_l2_rerank(q, x, cand_idx, k):
+    """Re-rank candidate indices by exact L2 distance.
+
+    q: (b, d), cand_idx: (b, kk) -> (idx (b, k) int32, dist (b, k)).
+    """
+    xc = x[cand_idx]  # (b, kk, d)
+    d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)  # (b, kk)
+    neg_d2, pos = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
+                                             "dtype_name"))
+def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
+              dtype_name: str):
+    n, d = x.shape
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    panel_fn = get_panel_fn(distance)
+    rerank = distance == "DistL2"
+    x_sq = corpus_sqnorm(x) if distance in ("DistL2", "DistCosine") else None
+
+    n_blocks = -(-n // block_rows)
+    pad = n_blocks * block_rows - n
+    row_ids = jnp.arange(n_blocks * block_rows, dtype=jnp.int32)
+    q_pad = jnp.pad(x, ((0, pad), (0, 0)))
+    q_blocks = q_pad.reshape(n_blocks, block_rows, d)
+    id_blocks = row_ids.reshape(n_blocks, block_rows)
+    kk = min(k + _RERANK_EXTRA, n) if rerank else k
+
+    def one_block(args):
+        q, ids = args
+        dist = panel_fn(q, x, x_sq, dtype=dtype)  # (b, n)
+        # mask the self column per row
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(col == ids[:, None], jnp.inf, dist)
+        neg_d, idx = jax.lax.top_k(-dist, kk)
+        if rerank:
+            ridx, rdist = _exact_l2_rerank(q, x, idx, k)
+            # re-mask self (rerank recomputes the self distance as 0)
+            self_pos = ridx == ids[:, None]
+            rdist = jnp.where(self_pos, jnp.inf, rdist)
+            order = jnp.argsort(rdist, axis=1)
+            ridx = jnp.take_along_axis(ridx, order, axis=1)
+            rdist = jnp.take_along_axis(rdist, order, axis=1)
+            return ridx, rdist
+        return idx.astype(jnp.int32), -neg_d
+
+    idx, dists = jax.lax.map(one_block, (q_blocks, id_blocks))
+    idx = idx.reshape(n_blocks * block_rows, -1)[:n, :k]
+    dists = dists.reshape(n_blocks * block_rows, -1)[:n, :k]
+    return idx, jnp.maximum(dists, 0.0)
+
+
+def knn_graph_brute(x, k: int, distance: str = "DistL2",
+                    block_rows: int = 1024, dtype: str = "float32"):
+    """Exact k nearest neighbours of every row of ``x`` (self excluded).
+
+    Returns ``(indices, dists)`` of shape (n, k), distances ascending.
+    """
+    n = x.shape[0]
+    if k >= n:
+        raise ValueError(f"k={k} must be < n={n}")
+    block_rows = min(block_rows, max(8, n))
+    return _knn_impl(jnp.asarray(x), k, distance, block_rows, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
+                                             "dtype_name"))
+def _search_impl(queries, corpus, k, distance, block_rows, dtype_name):
+    nq, d = queries.shape
+    n = corpus.shape[0]
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    panel_fn = get_panel_fn(distance)
+    rerank = distance == "DistL2"
+    x_sq = corpus_sqnorm(corpus) if distance in ("DistL2", "DistCosine") else None
+
+    n_blocks = -(-nq // block_rows)
+    pad = n_blocks * block_rows - nq
+    q_pad = jnp.pad(queries, ((0, pad), (0, 0)))
+    q_blocks = q_pad.reshape(n_blocks, block_rows, d)
+    kk = min(k + _RERANK_EXTRA, n) if rerank else k
+
+    def one_block(q):
+        dist = panel_fn(q, corpus, x_sq, dtype=dtype)
+        neg_d, idx = jax.lax.top_k(-dist, kk)
+        if rerank:
+            return _exact_l2_rerank(q, corpus, idx, k)
+        return idx.astype(jnp.int32), -neg_d
+
+    idx, dists = jax.lax.map(one_block, q_blocks)
+    idx = idx.reshape(n_blocks * block_rows, -1)[:nq, :k]
+    dists = dists.reshape(n_blocks * block_rows, -1)[:nq, :k]
+    return idx, jnp.maximum(dists, 0.0)
+
+
+def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
+                     block_rows: int = 1024, dtype: str = "float32"):
+    """k nearest corpus points for each query (no self-exclusion).
+
+    Replaces ``hnsw.search`` (used e.g. by the quality estimator,
+    reference src/embedder.rs:527-554, and the projection step of
+    src/fromhnsw/kgproj.rs:195-237).
+    """
+    if k > corpus.shape[0]:
+        raise ValueError("k larger than corpus")
+    block_rows = min(block_rows, max(8, queries.shape[0]))
+    return _search_impl(jnp.asarray(queries), jnp.asarray(corpus), k,
+                        distance, block_rows, dtype)

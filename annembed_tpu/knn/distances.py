@@ -1,0 +1,140 @@
+"""Batched distance panels, MXU-first.
+
+Replaces the SIMD distance kernels of the reference's ``hnsw_rs``
+dependency (reference Cargo.toml:125-126 SIMD features; distances
+DistL1/L2/Cosine/Jeffreys/JensenShannon dispatched in
+src/bin/embed.rs:546-565).
+
+The central object is a *panel*: distances between a block of queries
+``q: (b, d)`` and the full corpus ``x: (m, d)``.  L2 and cosine ride the
+MXU via a single matmul; L1/Jeffreys/JensenShannon are vectorized
+reductions (VPU) computed in corpus tiles to bound memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Metric = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+_EPS = 1.0e-12
+
+
+def l2_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm: jnp.ndarray | None = None,
+             dtype=jnp.float32) -> jnp.ndarray:
+    """Euclidean distances ||q_i - x_j|| as a (b, m) panel.
+
+    Computed as sqrt(max(||q||^2 + ||x||^2 - 2 q.x, 0)) so the O(b*m*d)
+    work is one MXU matmul.  Matches hnsw_rs ``DistL2`` (true euclidean
+    norm, not squared).
+    """
+    qf = q.astype(dtype)
+    xf = x.astype(dtype)
+    q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)  # (b,)
+    if x_sqnorm is None:
+        x_sqnorm = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)  # (m,)
+    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32)  # (b, m)
+    d2 = q_sq[:, None] + x_sqnorm[None, :] - 2.0 * cross
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def cosine_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Cosine distance 1 - cos(q, x), as in hnsw_rs ``DistCosine``."""
+    qf = q.astype(dtype)
+    xf = x.astype(dtype)
+    q_n = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+    if x_sqnorm is None:
+        x_sqnorm = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+    x_n = jnp.sqrt(x_sqnorm)
+    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32)
+    cos = cross / jnp.maximum(q_n[:, None] * x_n[None, :], _EPS)
+    return 1.0 - cos
+
+
+def _tiled_vpu_panel(q: jnp.ndarray, x: jnp.ndarray, pair_fn,
+                     tile: int = 2048) -> jnp.ndarray:
+    """Generic (b, m) panel for non-matmul metrics, tiled over the corpus.
+
+    pair_fn maps (q: (b,1,d), xt: (1,t,d)) -> (b, t) distances.
+    """
+    b = q.shape[0]
+    m, d = x.shape
+    n_tiles = -(-m // tile)
+    pad = n_tiles * tile - m
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xt = xp.reshape(n_tiles, tile, d)
+
+    def one(x_tile):
+        return pair_fn(q[:, None, :], x_tile[None, :, :])
+
+    panels = jax.lax.map(one, xt)  # (n_tiles, b, tile)
+    out = jnp.moveaxis(panels, 0, 1).reshape(b, n_tiles * tile)
+    return out[:, :m]
+
+
+def l1_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
+             dtype=jnp.float32) -> jnp.ndarray:
+    """L1 (Manhattan) distance panel, hnsw_rs ``DistL1``."""
+    del x_sqnorm, dtype
+    return _tiled_vpu_panel(
+        q.astype(jnp.float32), x.astype(jnp.float32),
+        lambda a, b_: jnp.sum(jnp.abs(a - b_), axis=-1))
+
+
+def _xlogy(p, r):
+    # p * log(r) with 0 log 0 = 0
+    return jnp.where(p > 0.0, p * jnp.log(jnp.maximum(r, _EPS)), 0.0)
+
+
+def jeffreys_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Jeffreys divergence sum_i (p_i - q_i) ln(p_i/q_i) for probability
+    vectors (hnsw_rs ``DistJeffreys``)."""
+    del x_sqnorm, dtype
+
+    def pair(a, b_):
+        ratio = jnp.maximum(a, _EPS) / jnp.maximum(b_, _EPS)
+        return jnp.sum((a - b_) * jnp.log(ratio), axis=-1)
+
+    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32), pair)
+
+
+def jensenshannon_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """sqrt of Jensen-Shannon divergence (hnsw_rs ``DistJensenShannon``)."""
+    del x_sqnorm, dtype
+
+    def pair(a, b_):
+        m = 0.5 * (a + b_)
+        js = 0.5 * jnp.sum(_xlogy(a, a / jnp.maximum(m, _EPS)), axis=-1) \
+            + 0.5 * jnp.sum(_xlogy(b_, b_ / jnp.maximum(m, _EPS)), axis=-1)
+        return jnp.sqrt(jnp.maximum(js, 0.0))
+
+    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32), pair)
+
+
+_PANELS = {
+    "DistL2": l2_panel,
+    "DistL1": l1_panel,
+    "DistCosine": cosine_panel,
+    "DistJeffreys": jeffreys_panel,
+    "DistJensenShannon": jensenshannon_panel,
+}
+
+
+def get_panel_fn(distance: str):
+    """Distance dispatch mirroring reference bin/embed.rs:546-565."""
+    if distance not in _PANELS:
+        raise ValueError(
+            f"unknown distance {distance!r}; valid: {sorted(_PANELS)}")
+    return _PANELS[distance]
+
+
+def corpus_sqnorm(x: jnp.ndarray) -> jnp.ndarray:
+    """Precomputed ||x||^2 shared across panels (L2/cosine only)."""
+    return jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)

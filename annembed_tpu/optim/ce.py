@@ -1,0 +1,256 @@
+"""Cross-entropy embedding optimizer: batched negative-sampling SGD.
+
+Rebuilds the reference's Hogwild hot loop ``ce_optim_edge_shannon``
+(src/embedder.rs:1167-1302) as synchronous mini-batched SGD under
+``lax.scan`` — lock-per-node asynchronous updates do not map to SIMD
+hardware (SURVEY.md §2.3); instead each step samples a batch of
+positive edges + 5 negatives each, computes the exact reference
+per-sample updates, and applies them with one scatter-add.
+
+Preserved constants and formulas (embedder.rs:1216-1299):
+  * embedded weight:  cauchy = 1 / (1 + (d/scale)^{2b})
+  * common coeff:     2 b cauchy (d2/scale^2)^{b-1} / scale^2
+  * attraction:       coeff_ij = max(step * coeff * (-w + (1-w) *
+                      1/max(d2s^2, 1/PROBA_MIN)), -0.49); y_i -= g, y_j += g
+                      with g = (y_j - y_i) * coeff_ij
+  * repulsion (5 negative samples, neighbours of i excluded,
+    embedder.rs:1241-1252): coeff_ik = min(step * coeff *
+    1/max(d2s^2, 1/16), 2.0); y_i -= (y_k - y_i) * coeff_ik
+  * embedded scales = 0.2 * clamp(rho_i / mean(rho), 1/4, 4)
+    (embedder.rs:1356-1373)
+  * step decay: gamma = gamma_0 * (1 - iter/nb_batch) across
+    nb_grad_batch outer batches (embedder.rs:875)
+
+Weighted positive-edge sampling uses inverse-CDF (searchsorted on the
+cumulative weight), replacing the WeightedAliasIndex alias table
+(embedder.rs:987): O(log E) per draw, fully vectorized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..params import EmbedderParams, PROBA_MIN
+from ..graph.kgraph import KGraph
+from ..graph.proba import NodeParams
+
+logger = logging.getLogger(__name__)
+
+NB_NEGATIVE = 5  # fixed in the reference (embedder.rs:1241)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EdgeSet:
+    """Flattened positive edges + sampling tables (EntropyOptim state,
+    embedder.rs:936-951, minus the RwLock'd coordinates)."""
+
+    src: jnp.ndarray            # (E,) int32
+    dst: jnp.ndarray            # (E,) int32
+    weight: jnp.ndarray         # (E,) f32 calibrated edge probabilities
+    edge_cdf: jnp.ndarray       # (E,) f32 cumulative weight (last = 1)
+    neighbors: jnp.ndarray      # (n, k) int32 for negative rejection
+    embedded_scale: jnp.ndarray  # (n,) f32
+    neg_cdf: Optional[jnp.ndarray] = None  # (n,) hubness-weighted sampling
+
+    @property
+    def nb_edges(self) -> int:
+        return self.src.shape[0]
+
+    @property
+    def nb_nodes(self) -> int:
+        return self.neighbors.shape[0]
+
+
+def embedded_scales_from_initial(scale: jnp.ndarray) -> jnp.ndarray:
+    """0.2 * clamp(rho/mean, 1/4, 4) (embedder.rs:1356-1373)."""
+    mean = jnp.mean(scale)
+    return 0.2 * jnp.clip(scale / jnp.maximum(mean, 1e-30), 0.25, 4.0)
+
+
+def build_edge_set(g: KGraph, npar: NodeParams,
+                   hubness_weights: Optional[jnp.ndarray] = None) -> EdgeSet:
+    n, k = g.indices.shape
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    dst = g.indices.reshape(-1)
+    w = npar.probas.reshape(-1).astype(jnp.float32)
+    cdf = jnp.cumsum(w)
+    cdf = cdf / cdf[-1]
+    neg_cdf = None
+    if hubness_weights is not None:
+        hw = jnp.cumsum(hubness_weights.astype(jnp.float32))
+        neg_cdf = hw / hw[-1]
+    return EdgeSet(src=src, dst=dst, weight=w, edge_cdf=cdf,
+                   neighbors=g.indices,
+                   embedded_scale=embedded_scales_from_initial(npar.scale),
+                   neg_cdf=neg_cdf)
+
+
+# ---------------------------------------------------------------------------
+# CE objective (monitoring)
+# ---------------------------------------------------------------------------
+
+def _cauchy_weight(d2_scaled: jnp.ndarray, b: float) -> jnp.ndarray:
+    """1 / (1 + (d^2/scale^2)^b), clamped below 1 (embedder.rs:1322-1345)."""
+    w = 1.0 / (1.0 + jnp.power(jnp.maximum(d2_scaled, 0.0), b))
+    return jnp.minimum(w, 1.0 - 1e-7)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "n_chunks"))
+def ce_value(y: jnp.ndarray, es: EdgeSet, b: float = 1.0,
+             n_chunks: int = 16) -> jnp.ndarray:
+    """Shannon cross entropy between graph and embedded edge weights
+    (embedder.rs:1127-1163)."""
+    e = es.nb_edges
+    chunk = -(-e // n_chunks)
+    pad = n_chunks * chunk - e
+    srcp = jnp.pad(es.src, (0, pad))
+    dstp = jnp.pad(es.dst, (0, pad))
+    wp = jnp.pad(es.weight, (0, pad))
+    maskp = jnp.pad(jnp.ones((e,), jnp.float32), (0, pad))
+
+    def one(args):
+        s, d_, w, m = args
+        yi, yj = y[s], y[d_]
+        scale = es.embedded_scale[s]
+        d2s = jnp.sum(jnp.square(yi - yj), -1) / jnp.square(scale)
+        we = _cauchy_weight(d2s, b)
+        term = -w * jnp.log(we) - (1.0 - w) * jnp.log1p(-we)
+        return jnp.sum(term * m)
+
+    parts = jax.lax.map(one, (srcp.reshape(n_chunks, chunk),
+                              dstp.reshape(n_chunks, chunk),
+                              wp.reshape(n_chunks, chunk),
+                              maskp.reshape(n_chunks, chunk)))
+    return jnp.sum(parts)
+
+
+# ---------------------------------------------------------------------------
+# one mini-batch update
+# ---------------------------------------------------------------------------
+
+def _common_coeff(d2s: jnp.ndarray, scale: jnp.ndarray, b: float):
+    """2 b cauchy d2s^{b-1} / scale^2 (embedder.rs:1216-1222)."""
+    if b == 1.0:
+        cauchy = 1.0 / (1.0 + d2s)
+        return 2.0 * cauchy / jnp.square(scale)
+    cauchy = 1.0 / (1.0 + jnp.power(jnp.maximum(d2s, 1e-30), b))
+    return 2.0 * b * cauchy * jnp.power(jnp.maximum(d2s, 1e-30), b - 1.0) \
+        / jnp.square(scale)
+
+
+def minibatch_update(y: jnp.ndarray, key: jax.Array, es: EdgeSet,
+                     grad_step: jnp.ndarray, b: float,
+                     batch_size: int) -> jnp.ndarray:
+    """One synchronous batch of the reference per-sample update."""
+    n, dim = y.shape
+    k_edge, k_neg = jax.random.split(key)
+
+    # --- positive edge sample (weighted, inverse CDF) ---
+    u = jax.random.uniform(k_edge, (batch_size,))
+    eidx = jnp.searchsorted(es.edge_cdf, u)
+    eidx = jnp.minimum(eidx, es.nb_edges - 1)
+    i = es.src[eidx]
+    j = es.dst[eidx]
+    w = es.weight[eidx]
+
+    yi = y[i]                       # (B, dim)
+    yj = y[j]
+    scale = es.embedded_scale[i]    # (B,)
+    d2 = jnp.sum(jnp.square(yi - yj), -1)
+    d2s = d2 / jnp.square(scale)
+
+    coeff = _common_coeff(d2s, scale, b)
+    alfa_att = 1.0 / PROBA_MIN      # repulsion annihilation (embedder.rs:1225)
+    coeff_rep_att = 1.0 / jnp.maximum(jnp.square(d2s), alfa_att)
+    coeff_ij = jnp.maximum(
+        grad_step * coeff * (-w + (1.0 - w) * coeff_rep_att), -0.49)
+    coeff_ij = jnp.where(d2s > 0.0, coeff_ij, 0.0)
+    g_att = (yj - yi) * coeff_ij[:, None]      # (B, dim)
+
+    # --- negative samples ---
+    if es.neg_cdf is not None:
+        un = jax.random.uniform(k_neg, (batch_size, NB_NEGATIVE))
+        neg = jnp.searchsorted(es.neg_cdf, un.reshape(-1)).reshape(
+            batch_size, NB_NEGATIVE)
+        neg = jnp.minimum(neg, n - 1).astype(jnp.int32)
+    else:
+        neg = jax.random.randint(k_neg, (batch_size, NB_NEGATIVE), 0, n,
+                                 dtype=jnp.int32)
+    # reject neg == i, neg == j, or neg in neighbours(i)
+    # (embedder.rs:1246-1252); rejected samples contribute nothing
+    nbrs_i = es.neighbors[i]                   # (B, k)
+    is_nbr = (neg[:, :, None] == nbrs_i[:, None, :]).any(-1)
+    reject = (neg == i[:, None]) | (neg == j[:, None]) | is_nbr
+
+    yk = y[neg]                                # (B, 5, dim)
+    d2k = jnp.sum(jnp.square(yi[:, None, :] - yk), -1)
+    d2ks = d2k / jnp.square(scale)[:, None]
+    coeff_k = _common_coeff(d2ks, scale[:, None], b)
+    coeff_rep = 1.0 / jnp.maximum(jnp.square(d2ks), 1.0 / 16.0)
+    coeff_ik = jnp.minimum(grad_step * coeff_k * coeff_rep, 2.0)
+    coeff_ik = jnp.where((d2ks > 0.0) & jnp.logical_not(reject),
+                         coeff_ik, 0.0)
+    g_rep = (yk - yi[:, None, :]) * coeff_ik[:, :, None]  # (B, 5, dim)
+
+    # --- scatter updates: y_i -= g_att + sum_k g_rep ; y_j += g_att ---
+    delta_i = -(g_att + jnp.sum(g_rep, axis=1))
+    y = y.at[i].add(delta_i)
+    y = y.at[j].add(g_att)
+    return y
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "batch_size", "steps_per_batch",
+                                    "nb_grad_batch"))
+def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
+             grad_step_init: float, b: float, batch_size: int,
+             steps_per_batch: int, nb_grad_batch: int) -> jnp.ndarray:
+    """Full optimization: nb_grad_batch outer batches, linear step decay
+    gamma_0 * (1 - iter/nb_batch) (embedder.rs:873-879), each batch made
+    of steps_per_batch synchronous mini-batches."""
+    total_steps = steps_per_batch * nb_grad_batch
+    keys = jax.random.split(key, total_steps)
+
+    def body(y, args):
+        step_idx, k = args
+        batch_idx = step_idx // steps_per_batch + 1
+        gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                                  / nb_grad_batch)
+        y = minibatch_update(y, k, es, gamma, b, batch_size)
+        return y, None
+
+    y, _ = jax.lax.scan(body, y0,
+                        (jnp.arange(total_steps, dtype=jnp.int32), keys))
+    return y
+
+
+def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
+                             params: EmbedderParams,
+                             compute_ce: bool = True) -> Tuple[jnp.ndarray, dict]:
+    """Driver mirroring ``entropy_optimize`` (embedder.rs:794-904)."""
+    e = es.nb_edges
+    batch_size = min(params.batch_size, max(256, e))
+    samples_per_batch = params.nb_sampling_by_edge * e
+    steps_per_batch = max(1, -(-samples_per_batch // batch_size))
+    info = {}
+    if compute_ce:
+        info["initial_ce"] = float(ce_value(y0, es, b=params.b))
+        logger.info("initial cross entropy %.4e", info["initial_ce"])
+    key = jax.random.PRNGKey(params.seed)
+    y = optimize(y0.astype(jnp.float32), es, key,
+                 grad_step_init=float(params.grad_step), b=float(params.b),
+                 batch_size=batch_size, steps_per_batch=steps_per_batch,
+                 nb_grad_batch=int(params.nb_grad_batch))
+    if compute_ce:
+        info["final_ce"] = float(ce_value(y, es, b=params.b))
+        logger.info("final cross entropy %.4e", info["final_ce"])
+    info["batch_size"] = batch_size
+    info["steps_per_batch"] = steps_per_batch
+    return y, info

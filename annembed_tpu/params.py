@@ -1,0 +1,198 @@
+"""Parameter dataclasses for the TPU-native annembed rebuild.
+
+Mirrors the reference parameter surface:
+  - ``EmbedderParams``  (reference: src/embedparams.rs:77-184)
+  - ``DiffusionParams`` (reference: src/diffmaps.rs:72-248)
+  - ``KnnParams``       (replaces the HNSW construction knobs of
+    reference src/bin/embed.rs:52-92 with TPU-native kNN knobs)
+
+Defaults match the reference exactly where a parameter has a direct
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+#: Probability floor used both in graph calibration and in the optimizer
+#: (reference: src/embedder.rs:50 ``PROBA_MIN = 1.E-4``).
+PROBA_MIN: float = 1.0e-4
+
+#: Dense/sparse representation switch (reference: src/graphlaplace.rs:13).
+FULL_MAT_REPR: int = 5000
+
+#: Size limit under which an exact (full) SVD is used
+#: (reference: src/graphlaplace.rs:15).
+FULL_SVD_SIZE_LIMIT: int = 5000
+
+
+@dataclasses.dataclass
+class EmbedderParams:
+    """Hyper-parameters of the cross-entropy embedding optimizer.
+
+    Reference: src/embedparams.rs:77-131.  The edge weight model in the
+    original space is ``w_i = exp(-((d_i - d_0)/(S * rho))^beta)`` and the
+    embedded-space weight is the Cauchy kernel
+    ``1 / (1 + (||x-y||/a_x)^{2b})`` (embedparams.rs:16,46).
+    """
+
+    #: Target embedding dimension (reference default 2).
+    asked_dim: int = 2
+    #: Initialize with diffusion maps (True) or random in a unit box.
+    dmap_init: bool = True
+    #: Exponent in the original-space edge weight.
+    beta: float = 1.0
+    #: Exponent of the embedded-space Cauchy kernel.
+    b: float = 1.0
+    #: Multiplier on the local scale rho.
+    scale_rho: float = 1.0
+    #: Initial gradient step.
+    grad_step: float = 2.0
+    #: Number of times each edge is sampled per gradient batch.
+    nb_sampling_by_edge: int = 10
+    #: Number of gradient batches (the step decays linearly across them).
+    nb_grad_batch: int = 20
+    #: Multiplier on nb_grad_batch for the first (small-graph) pass of the
+    #: hierarchical embedding.
+    grad_factor: int = 4
+    #: >0 switches to the hierarchical (two-step) embedding.
+    hierarchy_layer: int = 0
+    #: Use hubness (in-degree) weights for negative-node sampling.
+    hubness_weighting: bool = False
+
+    # --- TPU-specific knobs (no reference counterpart) ------------------
+    #: Mini-batch size (number of sampled positive edges per fused update).
+    #: The reference applies Hogwild updates one sample at a time
+    #: (src/embedder.rs:1167-1302); on TPU we apply them in synchronous
+    #: mini-batches under ``lax.scan``.  Smaller batches track the
+    #: sequential dynamics more closely; larger batches run faster.
+    batch_size: int = 16384
+    #: PRNG seed for sampling.
+    seed: int = 0
+
+    def log(self) -> None:
+        logger.info("EmbedderParams: %s", dataclasses.asdict(self))
+
+    # setter-style API mirroring the reference (embedparams.rs:134-180)
+    def set_dim(self, dim: int) -> None:
+        self.asked_dim = dim
+
+    def set_dmap_init(self, val: bool) -> None:
+        self.dmap_init = val
+
+    def set_nb_gradient_batch(self, nb_batch: int) -> None:
+        self.nb_grad_batch = nb_batch
+
+    def set_nb_edge_sampling(self, nb_sample_by_edge: int) -> None:
+        self.nb_sampling_by_edge = nb_sample_by_edge
+
+    def set_hierarchy_layer(self, layer: int) -> None:
+        self.hierarchy_layer = layer
+
+    def get_dimension(self) -> int:
+        return self.asked_dim
+
+    def get_hierarchy_layer(self) -> int:
+        return self.hierarchy_layer
+
+
+@dataclasses.dataclass
+class DiffusionParams:
+    """Parameters of the variable-bandwidth diffusion maps.
+
+    Reference: src/diffmaps.rs:72-248 (Berry--Harlim variable-bandwidth
+    kernels).  ``alfa`` is the density-renormalization exponent
+    (Coifman--Lafon), ``beta`` the density-to-scale exponent
+    (``rho = q^beta``, beta <= 0), ``epsil`` the kernel width and ``t`` the
+    diffusion time.
+    """
+
+    asked_dim: int = 2
+    alfa: float = 0.5
+    beta: float = -0.1
+    epsil: float = 2.0
+    t: Optional[float] = None
+    #: Number of neighbours used in the Laplacian graph (None = all of k).
+    gnbn: Optional[int] = None
+    #: Hierarchical layer (None/0 = embed the full graph).
+    h_layer: Optional[int] = None
+
+    # clamped setters mirroring diffmaps.rs:122-160
+    def set_alfa(self, alfa: float) -> None:
+        lo, hi = -2.0, 1.0
+        if not (lo <= alfa <= hi):
+            self.alfa = min(max(alfa, lo), hi)
+            logger.warning("alfa clamped to %.3e", self.alfa)
+            return
+        self.alfa = alfa
+
+    def set_beta(self, beta: float) -> None:
+        if -1.01 <= beta <= 0.0:
+            self.beta = beta
+        else:
+            logger.warning("not changing beta; beta should be in [-1, 0]")
+
+    def set_epsil(self, epsil: float) -> None:
+        self.epsil = min(max(epsil, 0.5), 4.0)
+
+    def set_gnbn(self, nbn: int) -> None:
+        self.gnbn = nbn
+
+    def set_hlayer(self, layer: int) -> None:
+        self.h_layer = layer
+
+    def set_embedding_dimension(self, dim: int) -> None:
+        self.asked_dim = dim
+
+    def get_hlayer(self) -> int:
+        return self.h_layer or 0
+
+    @staticmethod
+    def with_variable_bandwidth() -> "DiffusionParams":
+        """Reference diffmaps.rs:198-208."""
+        return DiffusionParams(asked_dim=2, alfa=0.5, beta=-0.1, epsil=1.5,
+                               t=5.0, gnbn=12)
+
+    @staticmethod
+    def with_fixed_bandwidth() -> "DiffusionParams":
+        """Reference diffmaps.rs:211-221."""
+        return DiffusionParams(asked_dim=2, alfa=1.0, beta=0.0, epsil=2.0,
+                               t=5.0, gnbn=16)
+
+    @staticmethod
+    def reference_default() -> "DiffusionParams":
+        """Reference ``Default`` impl (diffmaps.rs:225-237)."""
+        return DiffusionParams(asked_dim=2, alfa=1.0, beta=0.0, epsil=2.0,
+                               t=5.0, gnbn=12)
+
+
+@dataclasses.dataclass
+class KnnParams:
+    """TPU-native kNN graph construction knobs.
+
+    Replaces the HNSW parameters of the reference CLI
+    (src/bin/embed.rs:52-92: max_nb_conn, ef_construction, knbn,
+    scale_modification).  On TPU the graph is built with tiled
+    distance-matmul panels + top-k, optionally pruned with an IVF
+    (k-means) coarse quantizer for very large n.
+    """
+
+    #: Number of neighbours kept per node (reference CLI default knbn=10).
+    knbn: int = 10
+    #: Distance name: "DistL2" | "DistL1" | "DistCosine" | "DistJeffreys"
+    #: | "DistJensenShannon" (reference bin/embed.rs:546-565).
+    distance: str = "DistL2"
+    #: Row-panel size of the tiled distance computation.
+    block_rows: int = 1024
+    #: Above this many points, switch from exact brute force to IVF search.
+    brute_force_limit: int = 200_000
+    #: IVF: number of coarse centroids (0 = auto ~ sqrt(n)).
+    nlist: int = 0
+    #: IVF: number of closest centroid cells probed per query.
+    nprobe: int = 16
+    #: Matmul dtype for distance panels ("float32" or "bfloat16").
+    dtype: str = "float32"

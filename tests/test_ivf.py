@@ -1,0 +1,60 @@
+"""IVF approximate kNN: recall against the exact graph.
+
+The north-star for graph construction is matching HNSW recall
+(BASELINE.json); here we assert the IVF local join reaches high
+recall@k on both clustered and uniform synthetic data.
+"""
+
+import numpy as np
+
+from annembed_tpu.knn.brute import knn_graph_brute
+from annembed_tpu.knn.ivf import knn_graph_ivf, build_member_table
+from annembed_tpu.knn.api import recall_at_k
+from annembed_tpu.knn.kmeans import kmeans_fit
+
+
+def test_member_table(rng):
+    cells = rng.integers(0, 8, size=1000).astype(np.int32)
+    table = build_member_table(cells, 8, 1000)
+    counts = np.bincount(cells, minlength=8)
+    assert table.shape == (8, counts.max())
+    for c in range(8):
+        members = table[c][table[c] < 1000]
+        assert len(members) == counts[c]
+        assert (cells[members] == c).all()
+
+
+def test_kmeans_reduces_inertia(rng):
+    x = rng.normal(size=(2000, 8)).astype(np.float32)
+    cents, cells = kmeans_fit(x, 16, n_iter=10)
+    cents, cells = np.asarray(cents), np.asarray(cells)
+    inertia = ((x - cents[cells]) ** 2).sum()
+    # one random centroid would give roughly n * d variance
+    assert inertia < 0.9 * x.var() * x.size
+
+
+def test_ivf_recall_clustered(rng):
+    centers = rng.normal(size=(20, 10)) * 10
+    x = (centers[rng.integers(0, 20, 4000)]
+         + rng.normal(size=(4000, 10))).astype(np.float32)
+    exact_idx, _ = knn_graph_brute(x, k=10)
+    ivf_idx, ivf_dist = knn_graph_ivf(x, k=10, nlist=32, nprobe=8)
+    rec = recall_at_k(ivf_idx, exact_idx)
+    assert rec > 0.95, f"recall {rec}"
+    d = np.asarray(ivf_dist)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_ivf_recall_uniform(rng):
+    x = rng.random(size=(3000, 6)).astype(np.float32)
+    exact_idx, _ = knn_graph_brute(x, k=8)
+    ivf_idx, _ = knn_graph_ivf(x, k=8, nlist=24, nprobe=10)
+    rec = recall_at_k(ivf_idx, exact_idx)
+    assert rec > 0.9, f"recall {rec}"
+
+
+def test_ivf_no_self_edges(rng):
+    x = rng.normal(size=(1500, 5)).astype(np.float32)
+    idx, _ = knn_graph_ivf(x, k=6, nlist=16, nprobe=6)
+    rows = np.arange(1500)[:, None]
+    assert not (np.asarray(idx) == rows).any()

@@ -1,0 +1,98 @@
+"""kNN construction tests: exact agreement with a numpy oracle, distance
+dispatch, self-exclusion, duplicate-point robustness.
+
+Mirrors the reference test strategy for graph extraction
+(src/fromhnsw/kgraph.rs:771-903 uses synthetic uniform data); here we
+can assert exactness since the TPU graph builder is brute force.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from annembed_tpu.knn.brute import knn_graph_brute, knn_search_brute
+from annembed_tpu.knn import distances as D
+
+
+def numpy_knn(x, k):
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    return idx, np.sqrt(np.take_along_axis(d2, idx, axis=1))
+
+
+def test_knn_matches_numpy(rng):
+    x = rng.normal(size=(300, 17)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=8, block_rows=64)
+    ref_idx, ref_dist = numpy_knn(x, 8)
+    np.testing.assert_allclose(np.asarray(dist), ref_dist, rtol=2e-4, atol=2e-4)
+    # indices can differ on exact ties; compare via distances per row
+    same = (np.asarray(idx) == ref_idx).mean()
+    assert same > 0.99
+
+
+def test_knn_self_excluded(rng):
+    x = rng.normal(size=(100, 5)).astype(np.float32)
+    idx, _ = knn_graph_brute(x, k=4)
+    rows = np.arange(100)[:, None]
+    assert not (np.asarray(idx) == rows).any()
+
+
+def test_knn_duplicate_points(rng):
+    # duplicated points give zero distances; self must still be excluded
+    x = rng.normal(size=(50, 3)).astype(np.float32)
+    x = np.concatenate([x, x[:10]], axis=0)
+    idx, dist = knn_graph_brute(x, k=3)
+    rows = np.arange(60)[:, None]
+    assert not (np.asarray(idx) == rows).any()
+    assert np.asarray(dist).min() == 0.0  # duplicate at distance 0 kept
+
+
+def test_knn_sorted_rows(rng):
+    x = rng.normal(size=(200, 10)).astype(np.float32)
+    _, dist = knn_graph_brute(x, k=7)
+    d = np.asarray(dist)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_search_brute(rng):
+    corpus = rng.normal(size=(128, 6)).astype(np.float32)
+    queries = rng.normal(size=(37, 6)).astype(np.float32)
+    idx, dist = knn_search_brute(queries, corpus, k=5)
+    d2 = ((queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    ref_idx = np.argsort(d2, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(dist),
+                               np.sqrt(np.take_along_axis(d2, ref_idx, 1)),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("metric,oracle", [
+    ("DistL1", lambda a, b: np.abs(a[:, None] - b[None]).sum(-1)),
+    ("DistCosine", lambda a, b: 1 - (a @ b.T) / (
+        np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=1)[None])),
+])
+def test_distance_panels(rng, metric, oracle):
+    a = rng.normal(size=(20, 9)).astype(np.float32)
+    b = rng.normal(size=(33, 9)).astype(np.float32)
+    panel = D.get_panel_fn(metric)(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(panel), oracle(a, b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_probability_distances(rng):
+    p = rng.random(size=(10, 16)).astype(np.float32)
+    q = rng.random(size=(12, 16)).astype(np.float32)
+    p /= p.sum(1, keepdims=True)
+    q /= q.sum(1, keepdims=True)
+    jf = np.asarray(D.jeffreys_panel(jnp.asarray(p), jnp.asarray(q)))
+    ref = ((p[:, None] - q[None]) * np.log(p[:, None] / q[None])).sum(-1)
+    np.testing.assert_allclose(jf, ref, rtol=1e-3, atol=1e-5)
+    js = np.asarray(D.jensenshannon_panel(jnp.asarray(p), jnp.asarray(q)))
+    m = 0.5 * (p[:, None] + q[None])
+    ref_js = np.sqrt(0.5 * (p[:, None] * np.log(p[:, None] / m)).sum(-1)
+                     + 0.5 * (q[None] * np.log(q[None] / m)).sum(-1))
+    np.testing.assert_allclose(js, ref_js, rtol=1e-3, atol=1e-5)
+    # JS distance of identical distributions is ~0
+    js_same = np.asarray(D.jensenshannon_panel(jnp.asarray(p), jnp.asarray(p)))
+    assert np.abs(np.diagonal(js_same)).max() < 1e-3

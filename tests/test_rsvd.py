@@ -1,0 +1,97 @@
+"""Randomized SVD tests, mirroring the reference's heaviest test area
+(svdapprox.rs:1017-1669): the Wikipedia 4x5 fixture with known singular
+values [3, sqrt(5), 2, 0] (svdapprox.rs:1335), synthetic low-rank random
+matrices, and COO SpMM cross-checks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from annembed_tpu.linalg.rsvd import (randomized_svd_dense, full_svd_dense,
+                                      randomized_svd_op, coo_matmat,
+                                      estimate_first_singular_value)
+
+WIKI = np.array([[1., 0., 0., 0., 2.],
+                 [0., 0., 3., 0., 0.],
+                 [0., 0., 0., 0., 0.],
+                 [0., 2., 0., 0., 0.]], dtype=np.float32)
+WIKI_SIGMA = np.array([3.0, np.sqrt(5.0), 2.0, 0.0], dtype=np.float32)
+
+
+def test_full_svd_wiki():
+    res = full_svd_dense(jnp.asarray(WIKI))
+    np.testing.assert_allclose(np.asarray(res.s), WIKI_SIGMA, atol=1e-5)
+
+
+def test_randomized_svd_wiki():
+    res = randomized_svd_dense(jnp.asarray(WIKI), rank=4, n_iter=6,
+                               n_oversample=1)
+    np.testing.assert_allclose(np.asarray(res.s), WIKI_SIGMA, atol=1e-4)
+
+
+def test_randomized_svd_reconstruction(rng):
+    # synthetic low-rank: A = U diag(s) V^T with rank 12 inside 200x150
+    r = 12
+    u, _ = np.linalg.qr(rng.normal(size=(200, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(150, r)))
+    s = np.sort(rng.random(r) + 0.5)[::-1]
+    a = (u * s) @ v.T
+    res = randomized_svd_dense(jnp.asarray(a, jnp.float32), rank=r, n_iter=7)
+    np.testing.assert_allclose(np.asarray(res.s), s, rtol=1e-3)
+    recon = np.asarray(res.u) * np.asarray(res.s) @ np.asarray(res.vt)
+    np.testing.assert_allclose(recon, a, atol=1e-3)
+
+
+def test_randomized_svd_truncation_vs_exact(rng):
+    a = rng.normal(size=(120, 80)).astype(np.float32)
+    exact = np.linalg.svd(a, compute_uv=False)
+    res = randomized_svd_dense(jnp.asarray(a), rank=10, n_iter=8,
+                               n_oversample=15)
+    np.testing.assert_allclose(np.asarray(res.s), exact[:10], rtol=2e-2)
+
+
+def test_coo_matmat_matches_dense(rng):
+    n, m = 50, 40
+    dense = np.zeros((n, m), np.float32)
+    nnz = 200
+    rows = rng.integers(0, n, nnz).astype(np.int32)
+    cols = rng.integers(0, m, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    for r_, c_, v_ in zip(rows, cols, vals):
+        dense[r_, c_] += v_
+    mm = coo_matmat(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), n)
+    x = rng.normal(size=(m, 7)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(mm(jnp.asarray(x))), dense @ x,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_randomized_svd_on_coo_operator(rng):
+    # symmetric graph-like operator via COO closures
+    n = 100
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    a = 0.5 * (a + a.T)
+    rows, cols = np.nonzero(np.ones_like(a))
+    vals = a[rows, cols]
+    mm = coo_matmat(jnp.asarray(rows.astype(np.int32)),
+                    jnp.asarray(cols.astype(np.int32)),
+                    jnp.asarray(vals), n)
+    res = randomized_svd_op(mm, mm, (n, n), rank=5, n_iter=8)
+    exact = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(res.s), exact[:5], rtol=2e-2)
+
+
+def test_first_singular_value_power_iteration(rng):
+    a = rng.normal(size=(60, 60)).astype(np.float32)
+    mm = lambda x: jnp.asarray(a) @ x
+    rmm = lambda x: jnp.asarray(a).T @ x
+    est = estimate_first_singular_value(mm, rmm, 60, n_iter=50)
+    exact = np.linalg.svd(a, compute_uv=False)[0]
+    np.testing.assert_allclose(float(est), exact, rtol=1e-3)
+
+
+def test_epsil_truncation():
+    res = randomized_svd_dense(jnp.asarray(WIKI), rank=4, n_iter=6,
+                               n_oversample=1, epsil=0.5)
+    s = np.asarray(res.s)
+    assert s[0] > 0 and (s[s < 0.5 * s[0]] == 0).all()
