@@ -155,8 +155,11 @@ class DiffusionMaps:
         else:
             # t s.t. (lambda_2/lambda_1)^t < 0.9 capped at 5
             # (diffmaps.rs:1216)
-            ratio = jnp.maximum(norm_l[2] / jnp.maximum(norm_l[1], 1e-12),
-                                1e-12)
+            # clamp below 1: for a disconnected graph lambda_2 =
+            # lambda_1 and log(ratio) -> 0; the clamp degrades to the
+            # t = 5 cap instead of -inf (reference would NaN here too)
+            ratio = jnp.clip(norm_l[2] / jnp.maximum(norm_l[1], 1e-12),
+                             1e-12, 1.0 - 1e-6)
             time = jnp.minimum(5.0, jnp.log(0.9) / jnp.log(ratio))
         scales = lap.normed_scales
         if scales is None:
@@ -199,7 +202,8 @@ def get_dmap_embedding(g: KGraph, probas: jnp.ndarray, asked_dim: int,
     if t_opt is not None:
         time = jnp.float32(t_opt)
     else:
-        ratio = jnp.maximum(norm_l[2] / jnp.maximum(norm_l[1], 1e-12), 1e-12)
+        ratio = jnp.clip(norm_l[2] / jnp.maximum(norm_l[1], 1e-12),
+                         1e-12, 1.0 - 1e-6)
         time = jnp.minimum(5.0, jnp.log(0.9) / jnp.log(ratio))
     sum_diag = jnp.mean(lap.normalizer)
     weight = jnp.sqrt(lap.normalizer / sum_diag)
