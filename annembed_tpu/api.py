@@ -1,0 +1,114 @@
+"""Top-level API mirroring the reference Python bindings.
+
+Reference src/python.rs exposes ``annembed.embed`` (:109) and
+``annembed.dmap_embed`` (:201): csv in -> (n, dim) numpy out, with the
+keyword surface of the CLIs.  Here the same two calls run the
+TPU-native pipeline; array inputs are accepted directly in addition to
+csv paths.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional, Union
+
+import numpy as np
+
+from .params import EmbedderParams, DiffusionParams, KnnParams
+from .io.csv_io import get_toembed_from_csv
+from .knn.api import build_kgraph
+from .knn.hierarchy import build_projection
+from .optim.embedder import Embedder
+from .spectral.diffmaps import DiffusionMaps
+
+logger = logging.getLogger(__name__)
+
+ArrayLike = Union[str, np.ndarray]
+
+
+def _load(data: ArrayLike, delim: str, subsample: float) -> np.ndarray:
+    if isinstance(data, (str, bytes)) or hasattr(data, "__fspath__"):
+        return get_toembed_from_csv(data, delimiter=delim,
+                                    subsample=subsample)
+    return np.asarray(data, np.float32)
+
+
+def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
+          batch: int = 20, nbsample: int = 10, layer: int = 0,
+          hierarchy_fraction: float = 0.05, scale: float = 1.0,
+          quality_sampling: float = 1.0, distance: str = "DistL2",
+          nbng: int = 10, knn_params: Optional[KnnParams] = None,
+          params: Optional[EmbedderParams] = None, delim: str = ",",
+          with_quality: bool = False, seed: int = 0):
+    """Full kNN + CE-optimized embedding (reference python.rs:109,
+    bin/embed.rs main flow :402-444).
+
+    Returns (embedding (n, dim) np.ndarray, info dict).
+    """
+    x = _load(csv, delim, quality_sampling)
+    if params is None:
+        params = EmbedderParams()
+    params.asked_dim = dim
+    params.nb_grad_batch = batch
+    params.nb_sampling_by_edge = nbsample
+    params.scale_rho = scale
+    params.hierarchy_layer = layer
+    params.seed = seed
+    if knn_params is None:
+        knn_params = KnnParams(knbn=nbng, distance=distance)
+
+    t0 = time.perf_counter()
+    if layer > 0:
+        proj = build_projection(x, nbng, sample_fraction=hierarchy_fraction,
+                                distance=distance, params=knn_params,
+                                seed=seed)
+        emb = Embedder.from_hkgraph(proj, params)
+    else:
+        g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+        emb = Embedder.new(g, params)
+    y = np.asarray(emb.embed())
+    info = dict(emb.info)
+    info["total_time"] = time.perf_counter() - t0
+    if with_quality:
+        q = emb.get_quality_estimate_from_edge_length()
+        info["quality"] = q.summary()
+    if outfile:
+        from .io.csv_io import write_csv_array2
+        write_csv_array2(outfile, y)
+    return y, info
+
+
+def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
+               alfa: float = 1.0, beta: float = 0.0, time_param: float = 5.0,
+               distance: str = "DistL2", nbng: int = 16, layer: int = 0,
+               hierarchy_fraction: float = 0.05,
+               knn_params: Optional[KnnParams] = None,
+               quality_sampling: float = 1.0, delim: str = ",",
+               seed: int = 0):
+    """Diffusion-maps-only embedding (reference python.rs:201,
+    bin/dmapembed.rs:390-432).  With layer > 0 only the subsample graph
+    is embedded (dmapembed.rs:415-422)."""
+    x = _load(csv, delim, quality_sampling)
+    dp = DiffusionParams(asked_dim=dim, alfa=alfa, beta=beta, t=time_param,
+                         gnbn=nbng)
+    if knn_params is None:
+        knn_params = KnnParams(knbn=nbng, distance=distance)
+    t0 = time.perf_counter()
+    dm = DiffusionMaps(params=dp)
+    if layer > 0:
+        proj = build_projection(x, nbng, sample_fraction=hierarchy_fraction,
+                                distance=distance, params=knn_params,
+                                seed=seed)
+        y = np.asarray(dm.embed_from_kgraph(proj.small_graph))
+        info = {"nb_embedded": int(proj.nb_small),
+                "sample_ids": np.asarray(proj.sample_ids)}
+    else:
+        g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+        y = np.asarray(dm.embed_from_kgraph(g))
+        info = {"nb_embedded": int(x.shape[0])}
+    info["total_time"] = time.perf_counter() - t0
+    if outfile:
+        from .io.csv_io import write_csv_array2
+        write_csv_array2(outfile, y)
+    return y, info

@@ -234,9 +234,18 @@ def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
 def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
                              params: EmbedderParams,
                              compute_ce: bool = True) -> Tuple[jnp.ndarray, dict]:
-    """Driver mirroring ``entropy_optimize`` (embedder.rs:794-904)."""
+    """Driver mirroring ``entropy_optimize`` (embedder.rs:794-904).
+
+    The mini-batch size is capped at ~n/7 so that a node is touched
+    about once per synchronous batch (each sample updates 2 endpoints +
+    5 negatives): summed collisions beyond that overshoot the
+    sequential Hogwild dynamics the update constants were tuned for.
+    ``params.batch_size`` acts as an upper bound.
+    """
     e = es.nb_edges
-    batch_size = min(params.batch_size, max(256, e))
+    n = es.nb_nodes
+    collision_cap = max(256, n // (2 + NB_NEGATIVE))
+    batch_size = min(params.batch_size, collision_cap, max(256, e))
     samples_per_batch = params.nb_sampling_by_edge * e
     steps_per_batch = max(1, -(-samples_per_batch // batch_size))
     info = {}
