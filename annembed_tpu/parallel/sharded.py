@@ -1,0 +1,188 @@
+"""Multi-device sharding of the embedding pipeline.
+
+The reference is single-node shared-memory (rayon + Hogwild,
+SURVEY.md §2.3); the TPU-native scaling axis is a 1-D ``data`` mesh:
+
+  * kNN construction: query rows sharded across devices, the corpus
+    replicated (or streamed); each device computes its row panel and
+    top-k locally — no collective needed for the graph itself
+    (the matmul analogue of context parallelism).
+  * CE optimization: positive edges sharded across devices; the
+    (n, dim) embedding is replicated (it is tiny: n x 2..15 floats).
+    Each device samples its own mini-batch from its edge shard,
+    computes scatter-add deltas, and a ``psum`` over ICI merges them —
+    synchronous data-parallel SGD.
+  * Laplacian degrees / row sums: segment-sum of the local COO shard
+    followed by psum (not yet needed at current sizes).
+
+All collectives are inserted by XLA from ``shard_map`` annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+from ..optim.ce import EdgeSet, NB_NEGATIVE, _common_coeff
+from ..params import PROBA_MIN
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    grid = mesh_utils.create_device_mesh((n_devices,), devs[:n_devices])
+    return Mesh(grid, (axis,))
+
+
+# ---------------------------------------------------------------------------
+# sharded kNN
+# ---------------------------------------------------------------------------
+
+def sharded_knn_graph(x, k: int, mesh: Mesh, block_rows: int = 1024):
+    """Row-sharded exact kNN: each device owns a row block of queries
+    against the replicated corpus."""
+    from ..knn.brute import _knn_impl
+
+    n, d = x.shape
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    np_ = xp.shape[0]
+
+    def local(q_shard, corpus):
+        # q_shard: (np_/ndev, d); corpus: full (np_, d)
+        from ..knn.distances import l2_panel
+        shard_rows = q_shard.shape[0]
+        dev = jax.lax.axis_index("data")
+        row0 = dev * shard_rows
+        blocks = -(-shard_rows // block_rows)
+        bpad = blocks * block_rows - shard_rows
+        qb = jnp.pad(q_shard, ((0, bpad), (0, 0))).reshape(
+            blocks, block_rows, d)
+        ids = (row0 + jnp.arange(blocks * block_rows, dtype=jnp.int32)
+               ).reshape(blocks, block_rows)
+
+        def one(args):
+            q, rid = args
+            dist = l2_panel(q, corpus)
+            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            # mask self column and zero-padded corpus rows (col >= n)
+            dist = jnp.where((col == rid[:, None]) | (col >= n),
+                             jnp.inf, dist)
+            neg_d, idx = jax.lax.top_k(-dist, k)
+            return idx.astype(jnp.int32), -neg_d
+
+        idx, dd = jax.lax.map(one, (qb, ids))
+        return (idx.reshape(-1, k)[:shard_rows],
+                dd.reshape(-1, k)[:shard_rows])
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("data", None), P(None, None)),
+                   out_specs=(P("data", None), P("data", None)))
+    idx, dist = jax.jit(fn)(xp, xp)
+    return idx[:n], jnp.maximum(dist[:n], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sharded CE training step
+# ---------------------------------------------------------------------------
+
+def _local_delta(y, key, src, dst, weight, local_cdf, neighbors,
+                 emb_scale, grad_step, b: float, batch_size: int):
+    """Delta contribution of one device's edge shard (the body of the
+    reference hot loop, embedder.rs:1167-1302, in batched form)."""
+    n = y.shape[0]
+    k_edge, k_neg = jax.random.split(key)
+    u = jax.random.uniform(k_edge, (batch_size,))
+    eidx = jnp.minimum(jnp.searchsorted(local_cdf, u),
+                       local_cdf.shape[0] - 1)
+    i = src[eidx]
+    j = dst[eidx]
+    w = weight[eidx]
+    yi, yj = y[i], y[j]
+    scale = emb_scale[i]
+    d2s = jnp.sum(jnp.square(yi - yj), -1) / jnp.square(scale)
+    coeff = _common_coeff(d2s, scale, b)
+    rep_att = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / PROBA_MIN)
+    coeff_ij = jnp.maximum(grad_step * coeff * (-w + (1 - w) * rep_att),
+                           -0.49)
+    coeff_ij = jnp.where(d2s > 0, coeff_ij, 0.0)
+    g_att = (yj - yi) * coeff_ij[:, None]
+
+    neg = jax.random.randint(k_neg, (batch_size, NB_NEGATIVE), 0, n,
+                             dtype=jnp.int32)
+    nbrs = neighbors[i]
+    reject = ((neg == i[:, None]) | (neg == j[:, None])
+              | (neg[:, :, None] == nbrs[:, None, :]).any(-1))
+    yk = y[neg]
+    d2k = jnp.sum(jnp.square(yi[:, None, :] - yk), -1) \
+        / jnp.square(scale)[:, None]
+    coeff_k = _common_coeff(d2k, scale[:, None], b)
+    rep = 1.0 / jnp.maximum(jnp.square(d2k), 1.0 / 16.0)
+    coeff_ik = jnp.minimum(grad_step * coeff_k * rep, 2.0)
+    coeff_ik = jnp.where((d2k > 0) & ~reject, coeff_ik, 0.0)
+    g_rep = (yk - yi[:, None, :]) * coeff_ik[:, :, None]
+
+    delta = jnp.zeros_like(y)
+    delta = delta.at[i].add(-(g_att + g_rep.sum(1)))
+    delta = delta.at[j].add(g_att)
+    return delta
+
+
+def make_sharded_train_step(mesh: Mesh, b: float = 1.0,
+                            batch_size_per_device: int = 1024):
+    """Build a jitted data-parallel CE step over the mesh.
+
+    The embedding y is replicated; src/dst/weight/cdf are edge shards
+    (each device's cdf is its local cumulative weight, so sampling is
+    stratified by shard); the per-device deltas are psum-merged.
+    """
+
+    def step(y, key, src, dst, weight, local_cdf, neighbors, emb_scale,
+             grad_step):
+        dev = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, dev)
+        delta = _local_delta(y, key, src, dst, weight, local_cdf,
+                             neighbors, emb_scale, grad_step, b,
+                             batch_size_per_device)
+        delta = jax.lax.psum(delta, "data")
+        return y + delta
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"),
+                  P(), P(), P()),
+        out_specs=P())
+    return jax.jit(fn)
+
+
+def shard_edge_set(es: EdgeSet, mesh: Mesh):
+    """Pad + device-put the edge arrays along the mesh; returns the
+    tuple consumed by the sharded train step."""
+    ndev = mesh.devices.size
+    e = es.nb_edges
+    pad = (-e) % ndev
+    src = jnp.pad(es.src, (0, pad))
+    dst = jnp.pad(es.dst, (0, pad))
+    w = jnp.pad(es.weight, (0, pad))
+    shard_len = (e + pad) // ndev
+
+    # per-shard cumulative weights (stratified sampling)
+    w2 = w.reshape(ndev, shard_len)
+    cdf = jnp.cumsum(w2, axis=1)
+    cdf = cdf / jnp.maximum(cdf[:, -1:], 1e-30)
+    cdf = cdf.reshape(-1)
+
+    sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    return (jax.device_put(src, sharding), jax.device_put(dst, sharding),
+            jax.device_put(w, sharding), jax.device_put(cdf, sharding),
+            jax.device_put(es.neighbors, rep),
+            jax.device_put(es.embedded_scale, rep))

