@@ -58,10 +58,14 @@ class GraphLaplacian:
         if self.n <= FULL_SVD_SIZE_LIMIT:
             res = full_svd_dense(self.to_dense())
         else:
+            from ..linalg.rsvd import randomized_svd_coo
+            import jax
             rank = max(asked_dim, 20)
-            mm = self.matmat()
-            res = randomized_svd_op(mm, mm, (self.n, self.n), rank,
-                                    n_iter=5, n_oversample=10, key=key)
+            if key is None:
+                key = jax.random.PRNGKey(4664397)
+            res = randomized_svd_coo(self.rows, self.cols, self.vals, key,
+                                     n=self.n, rank=rank, n_iter=5,
+                                     n_oversample=10)
         self.svd_res = res
         return res
 

@@ -1,0 +1,97 @@
+"""TDA export for Ripserer.jl.
+
+Rebuilds reference src/fromhnsw/toripserer.rs + kgraph.rs:354:
+  * ``extract_neighbourhood``: the knbn nearest points around a query
+    center, dumped as a lower-triangular distance matrix (diag
+    included, zeros) in a one-field BSON document {"limat": [f64...]}
+    readable by the Julia companion (toripserer.rs:45-116).
+  * ``to_ripser_sparse_dist`` (kgraph.rs:354): the symmetrized kNN
+    graph as "i j dist" text triplets.
+
+BSON is written with a minimal self-contained encoder (document of one
+array-of-doubles field) — no external bson package required.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Sequence
+
+import numpy as np
+
+from ..graph.kgraph import KGraph
+from ..knn.brute import knn_search_brute
+
+
+def _bson_f64_array(name: str, values: Sequence[float]) -> bytes:
+    """BSON array element: type 0x04, keys are decimal index strings,
+    items are doubles (type 0x01)."""
+    items = b""
+    for i, v in enumerate(values):
+        items += b"\x01" + str(i).encode() + b"\x00" + struct.pack("<d",
+                                                                   float(v))
+    arr_doc = struct.pack("<i", len(items) + 5) + items + b"\x00"
+    return b"\x04" + name.encode() + b"\x00" + arr_doc
+
+
+def write_bson_limat(path: str, values: Sequence[float]) -> None:
+    """Document {"limat": [...f64]} (toripserer.rs:106-113)."""
+    body = _bson_f64_array("limat", values)
+    doc = struct.pack("<i", len(body) + 5) + body + b"\x00"
+    with open(path, "wb") as f:
+        f.write(doc)
+
+
+def read_bson_limat(path: str) -> np.ndarray:
+    """Inverse of write_bson_limat (for tests / reuse)."""
+    raw = open(path, "rb").read()
+    (doc_len,) = struct.unpack_from("<i", raw, 0)
+    assert doc_len == len(raw)
+    assert raw[4] == 0x04
+    name_end = raw.index(b"\x00", 5)
+    assert raw[5:name_end] == b"limat"
+    pos = name_end + 1
+    (arr_len,) = struct.unpack_from("<i", raw, pos)
+    end = pos + arr_len - 1
+    pos += 4
+    out = []
+    while pos < end:
+        assert raw[pos] == 0x01
+        pos = raw.index(b"\x00", pos + 1) + 1
+        (v,) = struct.unpack_from("<d", raw, pos)
+        out.append(v)
+        pos += 8
+    return np.array(out)
+
+
+def extract_neighbourhood(x, center, knbn: int, outbson: str,
+                          distance: str = "DistL2") -> int:
+    """Lower-triangular distance matrix of the knbn points nearest to
+    ``center`` -> BSON (toripserer.rs:45).  Returns number of points."""
+    x = np.asarray(x, np.float32)
+    center = np.asarray(center, np.float32).reshape(1, -1)
+    idx, _ = knn_search_brute(center, x, k=min(knbn, x.shape[0]),
+                              distance=distance)
+    pts = x[np.asarray(idx[0])]
+    nb = pts.shape[0]
+    # pairwise distances of the neighbourhood (small: knbn <= ~2000)
+    d = np.sqrt(np.maximum(
+        ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1), 0.0))
+    tri = []
+    for i in range(nb):
+        tri.extend(d[i, :i].tolist())
+        tri.append(0.0)
+    write_bson_limat(outbson, tri)
+    return nb
+
+
+def to_ripser_sparse_dist(g: KGraph, path: str) -> None:
+    """Symmetrized text triplets "i j dist" (kgraph.rs:354-369)."""
+    idx = np.asarray(g.indices)
+    dist = np.asarray(g.dists)
+    n, k = idx.shape
+    with open(path, "w") as f:
+        for i in range(n):
+            for j in range(k):
+                f.write(f"{i} {idx[i, j]} {dist[i, j]:.5E}\n")
+                f.write(f"{idx[i, j]} {i} {dist[i, j]:.5E}\n")

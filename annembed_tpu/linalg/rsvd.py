@@ -132,6 +132,18 @@ def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
     return matmat
 
 
+@functools.partial(jax.jit, static_argnames=("n", "rank", "n_iter",
+                                              "n_oversample"))
+def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
+                       n_iter: int = 5, n_oversample: int = 10) -> SvdResult:
+    """Fully-jitted randomized SVD of a symmetric COO operator — one
+    XLA program for the whole range iteration + projection (keeps
+    dispatch/compile count low on remote-compile backends)."""
+    mm = coo_matmat(rows, cols, vals, n)
+    return randomized_svd_op(mm, mm, (n, n), rank, n_iter=n_iter,
+                             n_oversample=n_oversample, key=key)
+
+
 def estimate_first_singular_value(matmat: Callable, rmatmat: Callable,
                                   n_cols: int, n_iter: int = 20,
                                   key: Optional[jax.Array] = None) -> jnp.ndarray:

@@ -91,6 +91,65 @@ def _density_from_kernel(rows, cols, vals, n: int) -> jnp.ndarray:
     return q / jnp.mean(q)
 
 
+@functools.partial(jax.jit, static_argnames=("real_dim", "auto_time"))
+def _spectral_coords(lambdas, u, scales, normalizer, t_val,
+                     real_dim: int, auto_time: bool):
+    """Diffusion coordinates from the spectral data
+    (diffmaps.rs:1196-1237): coord_ij = clip(lambda_{j+1}^t u_{i,j+1}
+    / (scale_i sqrt(D_i / mean D)), 10)."""
+    norm_l = lambdas / lambdas[0]
+    if auto_time:
+        # t s.t. (lambda_2/lambda_1)^t < 0.9 capped at 5
+        # (diffmaps.rs:1216); the ratio clamp below 1 degrades a
+        # disconnected graph (lambda_2 == lambda_1) to the t = 5 cap
+        # instead of -inf
+        ratio = jnp.clip(norm_l[2] / jnp.maximum(norm_l[1], 1e-12),
+                         1e-12, 1.0 - 1e-6)
+        time = jnp.minimum(5.0, jnp.log(0.9) / jnp.log(ratio))
+    else:
+        time = t_val
+    sum_diag = jnp.mean(normalizer)
+    weight = scales * jnp.sqrt(normalizer / sum_diag)      # (n,)
+    lam_t = jnp.power(norm_l[1:real_dim + 1], time)        # (dim,)
+    coords = lam_t[None, :] * u[:, 1:real_dim + 1] \
+        / jnp.maximum(weight, 1e-30)[:, None]
+    return jnp.clip(coords, -10.0, 10.0)
+
+
+@functools.partial(jax.jit, static_argnames=("gnbn", "beta_is_neg"))
+def _dmap_laplacian_impl(indices, dists, gnbn: int, epsil, beta, alfa,
+                         beta_is_neg: bool):
+    """Single fused XLA program building the alfa-weighted Laplacian
+    COO from the kNN graph: local scales -> kernel (-> density pass if
+    beta < 0) -> symmetrize -> alfa normalization -> D^{-1/2} scaling.
+    Keeping this one jit matters on remote-compile backends where every
+    un-jitted op dispatch pays a round trip."""
+    n = indices.shape[0]
+    rho, mean = _local_scales(dists, gnbn)
+    epsil_sqrt = jnp.sqrt(epsil)
+    g = KGraph(indices=indices, dists=dists)
+    if beta_is_neg:
+        w, sw = _kernel_weights(dists, indices, rho, epsil_sqrt)
+        rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
+        q = _density_from_kernel(rows, cols, vals, n)
+        beta_scales = jnp.power(q, beta) * mean
+        w, sw = _kernel_weights(dists, indices, beta_scales, epsil_sqrt)
+    else:
+        q = None
+        const = jnp.full_like(rho, mean)
+        w, sw = _kernel_weights(dists, indices, const, epsil_sqrt)
+    rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
+    # alfa weighting + symmetric normalization (laplacian_alfa_weighted)
+    qd = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
+    qd = qd / jnp.mean(qd)
+    vals = vals / jnp.power(jnp.maximum(qd[rows] * qd[cols], 1e-30), alfa)
+    degrees = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
+    d_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(degrees, 1e-30))
+    vals = vals * d_inv_sqrt[rows] * d_inv_sqrt[cols]
+    normalizer = jnp.sqrt(jnp.maximum(degrees, 0.0))
+    return rows, cols, vals, normalizer, rho, mean, q
+
+
 # ---------------------------------------------------------------------------
 # DiffusionMaps driver
 # ---------------------------------------------------------------------------
@@ -108,37 +167,23 @@ class DiffusionMaps:
     # -- kernel + laplacian -------------------------------------------------
     def laplacian_from_kgraph(self, g: KGraph) -> GraphLaplacian:
         """compute_dmap_nodeparams + compute_laplacian
-        (diffmaps.rs:380-422,752-849)."""
+        (diffmaps.rs:380-422,752-849), fused into one XLA program."""
         k = g.nbng
         gnbn = min(self.params.gnbn or k, k)
-        rho, mean = _local_scales(g.dists, gnbn)
-        self.mean_scale = float(mean)
-        self.normed_scales = rho / mean
-        epsil_sqrt = jnp.float32(self.params.epsil) ** 0.5
-
         beta = self.params.beta
         if beta > 0:
             raise ValueError("beta cannot be > 0 (diffmaps.rs:827-830)")
-        if beta < 0.0:
-            # pass 1 with distance-based scales, estimate density, re-scale
-            w, sw = _kernel_weights(g.dists, g.indices, rho, epsil_sqrt)
-            rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
-            q = _density_from_kernel(rows, cols, vals, g.nb_nodes)
-            self.q_density = q
-            beta_scales = jnp.power(q, beta) * mean
-            w, sw = _kernel_weights(g.dists, g.indices, beta_scales,
-                                    epsil_sqrt)
-        else:
-            # beta == 0: fixed bandwidth at the mean scale
-            # (diffmaps.rs:844-848)
-            const = jnp.full_like(rho, mean)
-            w, sw = _kernel_weights(g.dists, g.indices, const, epsil_sqrt)
-        rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
-        lap = laplacian_alfa_weighted(rows, cols, vals, g.nb_nodes,
-                                      self.params.alfa,
-                                      normed_scales=self.normed_scales,
-                                      mean_scale=self.mean_scale)
-        return lap
+        rows, cols, vals, normalizer, rho, mean, q = _dmap_laplacian_impl(
+            g.indices, g.dists, gnbn, jnp.float32(self.params.epsil),
+            jnp.float32(beta), jnp.float32(self.params.alfa),
+            beta_is_neg=beta < 0.0)
+        self.mean_scale = float(mean)
+        self.normed_scales = rho / mean
+        self.q_density = q
+        return GraphLaplacian(rows=rows, cols=cols, vals=vals,
+                              normalizer=normalizer, n=g.nb_nodes,
+                              normed_scales=self.normed_scales,
+                              mean_scale=self.mean_scale)
 
     # -- embedding ----------------------------------------------------------
     def embed_from_laplacian(self, lap: GraphLaplacian, asked_dim: int,
@@ -146,31 +191,16 @@ class DiffusionMaps:
         """Spectral coordinates from the top eigenvectors
         (diffmaps.rs:1145-1243)."""
         svd_res = lap.do_svd(asked_dim + 15, key=key)
-        lambdas = svd_res.s
-        u = svd_res.u
-        real_dim = min(asked_dim, u.shape[1] - 1)
-        norm_l = lambdas / lambdas[0]
-        if t_opt is not None:
-            time = jnp.float32(t_opt)
-        else:
-            # t s.t. (lambda_2/lambda_1)^t < 0.9 capped at 5
-            # (diffmaps.rs:1216)
-            # clamp below 1: for a disconnected graph lambda_2 =
-            # lambda_1 and log(ratio) -> 0; the clamp degrades to the
-            # t = 5 cap instead of -inf (reference would NaN here too)
-            ratio = jnp.clip(norm_l[2] / jnp.maximum(norm_l[1], 1e-12),
-                             1e-12, 1.0 - 1e-6)
-            time = jnp.minimum(5.0, jnp.log(0.9) / jnp.log(ratio))
         scales = lap.normed_scales
         if scales is None:
             scales = jnp.ones((lap.n,), jnp.float32)
-        sum_diag = jnp.mean(lap.normalizer)
-        weight = scales * jnp.sqrt(lap.normalizer / sum_diag)  # (n,)
-        lam_t = jnp.power(norm_l[1:real_dim + 1], time)        # (dim,)
-        coords = lam_t[None, :] * u[:, 1:real_dim + 1] \
-            / jnp.maximum(weight, 1e-30)[:, None]
-        coords = jnp.clip(coords, -10.0, 10.0)
-        return coords
+        return _spectral_coords(svd_res.s, svd_res.u, scales,
+                                lap.normalizer,
+                                jnp.float32(t_opt if t_opt is not None
+                                            else -1.0),
+                                real_dim=min(asked_dim,
+                                             svd_res.u.shape[1] - 1),
+                                auto_time=t_opt is None)
 
     def embed_from_kgraph(self, g: KGraph, key=None) -> jnp.ndarray:
         """Full chain (diffmaps.rs:1047-1075)."""

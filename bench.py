@@ -19,10 +19,15 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: steady-state timing should not pay the
+# (remote) compile cost again across driver rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 
 N = 70_000
 D = 784
