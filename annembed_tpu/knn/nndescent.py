@@ -1,0 +1,103 @@
+"""NN-descent refinement of an approximate kNN graph.
+
+The reference relies on HNSW's navigability for recall; our IVF local
+join can miss neighbours that fall outside the probed cells.
+NN-descent (Dong et al. 2011) repairs this: neighbours-of-neighbours
+are excellent candidates.  TPU shape: one round gathers, for every
+node, its k^2 two-hop candidates plus a fixed-width reverse-neighbour
+table, computes exact distances in row panels (gather + VPU reduce),
+and merges with the current top-k.  Everything is static-shaped.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def _reverse_table(indices: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """(n, capacity) table of reverse neighbours (who points at me),
+    padded with n; overflow beyond capacity is dropped (the reference's
+    HNSW keeps bounded in-degree too)."""
+    n, k = indices.shape
+    flat_dst = indices.reshape(-1)
+    flat_src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    # slot per destination: running count of arrivals (via sort by dst)
+    order = jnp.argsort(flat_dst)
+    dst_sorted = flat_dst[order]
+    src_sorted = flat_src[order]
+    # position within group = index - first index of the group
+    first_idx = jnp.searchsorted(dst_sorted, jnp.arange(n), side="left")
+    pos = jnp.arange(n * k) - first_idx[dst_sorted]
+    keep = pos < capacity
+    table = jnp.full((n + 1, capacity), n, dtype=jnp.int32)
+    table = table.at[jnp.where(keep, dst_sorted, n),
+                     jnp.where(keep, pos, 0)].set(
+        jnp.where(keep, src_sorted, n))
+    return table[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows",
+                                             "rev_capacity"))
+def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
+                     rev_capacity: int):
+    n = indices.shape[0]
+    d = x_pad.shape[1]
+    rev = _reverse_table(indices, rev_capacity)            # (n, rc)
+
+    n_blocks = -(-n // block_rows)
+    pad_rows = n_blocks * block_rows - n
+    idx_p = jnp.pad(indices, ((0, pad_rows), (0, 0)), constant_values=n)
+    dist_p = jnp.pad(dists, ((0, pad_rows), (0, 0)))
+    rev_p = jnp.pad(rev, ((0, pad_rows), (0, 0)), constant_values=n)
+    rid_p = jnp.arange(n_blocks * block_rows, dtype=jnp.int32)
+
+    idx_pp = jnp.pad(indices, ((0, 1), (0, 0)), constant_values=n)
+
+    def one(args):
+        cur_idx, cur_dist, rv, rid = args   # (b,k),(b,k),(b,rc),(b,)
+        # candidates: neighbours-of-neighbours + reverse neighbours
+        two_hop = idx_pp[cur_idx].reshape(cur_idx.shape[0], -1)  # (b, k*k)
+        cand = jnp.concatenate([two_hop, rv], axis=1)            # (b, C)
+        q = x_pad[rid]                                            # (b, d)
+        xc = x_pad[cand]                                          # (b, C, d)
+        d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
+        invalid = (cand >= n) | (cand == rid[:, None])
+        # exclude already-known neighbours (avoid duplicates in merge)
+        known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
+        d2 = jnp.where(invalid | known, jnp.inf, d2)
+        cd = jnp.sqrt(jnp.maximum(d2, 0.0))
+        all_d = jnp.concatenate([cur_dist, cd], axis=1)
+        all_i = jnp.concatenate([cur_idx, cand], axis=1)
+        neg_d, pos = jax.lax.top_k(-all_d, k)
+        new_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return new_i.astype(jnp.int32), -neg_d
+
+    ni, nd = jax.lax.map(one, (
+        idx_p.reshape(n_blocks, block_rows, -1),
+        dist_p.reshape(n_blocks, block_rows, -1),
+        rev_p.reshape(n_blocks, block_rows, -1),
+        rid_p.reshape(n_blocks, block_rows)))
+    ni = ni.reshape(-1, k)[:n]
+    nd = nd.reshape(-1, k)[:n]
+    return ni, jnp.maximum(nd, 0.0)
+
+
+def nndescent_refine(x, indices, dists, n_rounds: int = 2,
+                     block_rows: int = 512, rev_capacity: int = 0):
+    """Refine (indices, dists) in place over n_rounds.  Only L2."""
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    k = indices.shape[1]
+    if rev_capacity <= 0:
+        rev_capacity = k
+    x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+    for _ in range(n_rounds):
+        indices, dists = _nndescent_round(x_pad, indices, dists, k,
+                                          block_rows, rev_capacity)
+    return indices, dists

@@ -1,0 +1,206 @@
+"""Tests for CdC, TDA export, entropy tools, dichotomy, NN-descent,
+and single-linkage clustering."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from annembed_tpu.knn.brute import knn_graph_brute
+from annembed_tpu.graph.kgraph import KGraph
+
+
+def graph_of(x, k=10):
+    idx, dist = knn_graph_brute(np.asarray(x, np.float32), k=k)
+    return KGraph(indices=idx, dists=dist)
+
+
+# --------------------------------------------------------------------------
+# Carre du Champ
+# --------------------------------------------------------------------------
+
+def test_cdc_kernel_rows_are_probabilities(rng):
+    from annembed_tpu.estimators.cdc import CarreDuChamp
+    x = rng.normal(size=(300, 6)).astype(np.float32)
+    cdc = CarreDuChamp(x, knbn=10)
+    rows = cdc.kernel_rows(jnp.array([0, 5, 123]))
+    sums = np.asarray(rows.sum(axis=1))
+    np.testing.assert_allclose(sums, 1.0, atol=2e-3)  # rw rows sum to 1
+    assert (np.asarray(rows) >= 0).all()
+
+
+def test_cdc_planar_data_has_rank2_spectrum(rng):
+    """Points on a 2-plane in R^6: the local covariance must have ~2
+    dominant eigenvalues (the CdC recovers local dimension)."""
+    from annembed_tpu.estimators.cdc import CarreDuChamp
+    z = rng.normal(size=(500, 2)).astype(np.float32)
+    basis, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    x = (z @ basis[:2]).astype(np.float32)
+    cdc = CarreDuChamp(x, knbn=12)
+    _, mat = cdc.get_cdc_at_point(10)
+    s = np.asarray(mat.get_spectrum(epsil=0.05))
+    assert len(s) <= 3
+    full = np.linalg.eigvalsh(np.asarray(mat.mat))[::-1]
+    assert full[1] > 100 * max(full[3], 1e-12)
+
+
+def test_cdc_bures_distance(rng):
+    from annembed_tpu.estimators.cdc import CdcMat, psd_dist_upper_bound
+    # the bound is exact (0) only for identical rank-1 matrices:
+    # d^2 = trA + trB - 2 sqrt(tr(AB)) = 2(sum l - sqrt(sum l^2)) > 0
+    # for general equal PSD matrices — it is an UPPER bound
+    v = rng.normal(size=(4, 1))
+    a1 = (v @ v.T).astype(np.float32)
+    m1 = CdcMat(mat=jnp.asarray(a1))
+    assert psd_dist_upper_bound(m1, m1) < 1e-2
+    a = rng.normal(size=(4, 4))
+    a = (a @ a.T).astype(np.float32)
+    m = CdcMat(mat=jnp.asarray(a))
+    assert psd_dist_upper_bound(m, m) >= 0
+    b = CdcMat(mat=jnp.asarray(2.0 * a))
+    assert psd_dist_upper_bound(m, b) > 0
+
+
+def test_cdc_apply_f_identity_matches_cdc(rng):
+    from annembed_tpu.estimators.cdc import CarreDuChamp
+    x = rng.normal(size=(200, 3)).astype(np.float32)
+    cdc = CarreDuChamp(x, knbn=8)
+    _, mat = cdc.get_cdc_at_point(7)
+    ident = cdc.apply_fvec(7, lambda v: v, lambda v: v)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(mat.mat),
+                               rtol=1e-3, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# TDA export
+# --------------------------------------------------------------------------
+
+def test_bson_limat_roundtrip(tmp_path, rng):
+    from annembed_tpu.io.ripser import write_bson_limat, read_bson_limat
+    vals = rng.random(20).tolist()
+    p = tmp_path / "x.bson"
+    write_bson_limat(str(p), vals)
+    back = read_bson_limat(str(p))
+    np.testing.assert_allclose(back, vals, rtol=1e-12)
+
+
+def test_extract_neighbourhood(tmp_path, rng):
+    from annembed_tpu.io.ripser import extract_neighbourhood, \
+        read_bson_limat
+    x = rng.normal(size=(200, 5)).astype(np.float32)
+    p = tmp_path / "n.bson"
+    nb = extract_neighbourhood(x, x[0], knbn=10, outbson=str(p))
+    tri = read_bson_limat(str(p))
+    assert len(tri) == nb * (nb + 1) // 2
+    # diagonal zeros present at triangular positions
+    diag_pos = np.cumsum(np.arange(1, nb + 1)) - 1
+    np.testing.assert_allclose(tri[diag_pos], 0.0)
+
+
+def test_ripser_sparse_dump(tmp_path, rng):
+    from annembed_tpu.io.ripser import to_ripser_sparse_dist
+    x = rng.normal(size=(30, 4)).astype(np.float32)
+    g = graph_of(x, k=4)
+    p = tmp_path / "g.txt"
+    to_ripser_sparse_dist(g, str(p))
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == 30 * 4 * 2
+    i, j, w = lines[0].split()
+    assert float(w) >= 0
+
+
+# --------------------------------------------------------------------------
+# entropy + dichotomy
+# --------------------------------------------------------------------------
+
+def test_entropy_values():
+    from annembed_tpu.utils.entropy import (shannon_entropy, renyi_entropy,
+                                            relative_renyi_entropy,
+                                            perplexity)
+    p = np.full(8, 1 / 8)
+    np.testing.assert_allclose(float(shannon_entropy(p)), np.log(8),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(perplexity(p)), 8.0, rtol=1e-5)
+    np.testing.assert_allclose(float(renyi_entropy(p, 2.0)), np.log(8),
+                               rtol=1e-5)
+    q = np.array([0.5, 0.5, 0, 0, 0, 0, 0, 0])
+    kl = float(relative_renyi_entropy(q, p, 1.0))
+    np.testing.assert_allclose(kl, np.log(4), rtol=1e-4)
+
+
+def test_dichotomy_sqrt2():
+    from annembed_tpu.utils.dichotomy import dichotomy_solver
+    root = dichotomy_solver(True, lambda x: x * x, 0.0, 5.0, 2.0)
+    np.testing.assert_allclose(root, np.sqrt(2), rtol=1e-5)
+    # decreasing function (reference dichotomy.rs:74-90 tests both)
+    root = dichotomy_solver(False, lambda x: -x, -3.0, 5.0, -2.0)
+    np.testing.assert_allclose(root, 2.0, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# NN-descent
+# --------------------------------------------------------------------------
+
+def test_nndescent_improves_degraded_graph(rng):
+    from annembed_tpu.knn.nndescent import nndescent_refine
+    from annembed_tpu.knn.api import recall_at_k
+    x = rng.normal(size=(800, 8)).astype(np.float32)
+    exact_idx, exact_dist = knn_graph_brute(x, k=8)
+    # degrade: replace half the neighbours by random ones
+    idx = np.asarray(exact_idx).copy()
+    dist = np.asarray(exact_dist).copy()
+    corrupt = rng.integers(0, 800, size=(800, 4)).astype(np.int32)
+    idx[:, 4:] = corrupt
+    dist[:, 4:] = np.linalg.norm(x - x[corrupt[:, 0]], axis=1)[:, None]
+    r0 = recall_at_k(idx, exact_idx)
+    ridx, rdist = nndescent_refine(x, jnp.asarray(idx), jnp.asarray(dist),
+                                   n_rounds=3)
+    r1 = recall_at_k(ridx, exact_idx)
+    assert r1 > r0 + 0.2, (r0, r1)
+    assert r1 > 0.95, r1
+
+
+# --------------------------------------------------------------------------
+# single linkage
+# --------------------------------------------------------------------------
+
+def test_kruskal_mst_spanning(rng):
+    from annembed_tpu.estimators.hdbscan import kruskal_mst
+    x = rng.normal(size=(100, 3)).astype(np.float32)
+    g = graph_of(x, k=8)
+    mst = kruskal_mst(g)
+    assert mst.shape[0] <= 99
+    assert (np.diff(np.sort(mst[:, 2])) >= 0).all()
+
+
+def test_single_linkage_separates_blobs(rng):
+    from annembed_tpu.estimators.hdbscan import single_linkage
+    a = rng.normal(size=(60, 4))
+    b = rng.normal(size=(60, 4)) + 50.0
+    x = np.concatenate([a, b]).astype(np.float32)
+    g = graph_of(x, k=6)
+    dend = single_linkage(g)
+    labels = dend.cluster_by_distance(10.0)
+    # two well-separated blobs -> exactly 2 clusters, aligned with truth
+    assert len(np.unique(labels)) == 2
+    assert len(np.unique(labels[:60])) == 1
+    assert len(np.unique(labels[60:])) == 1
+    # linkage sizes: final merge contains everyone iff graph connected
+    sizes = dend.linkage[:, 3]
+    assert sizes.max() <= 120
+
+
+# --------------------------------------------------------------------------
+# visualization
+# --------------------------------------------------------------------------
+
+def test_viz_plots(tmp_path, rng):
+    from annembed_tpu import viz
+    coords = rng.normal(size=(200, 2)).astype(np.float32)
+    labels = rng.integers(0, 5, 200)
+    p1 = viz.plot_embedding(coords, labels, out=str(tmp_path / "e.png"))
+    assert (tmp_path / "e.png").exists()
+    ratio = rng.random(200)
+    viz.plot_continuity(coords, ratio, out=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+    viz.plot_first_dist_density(ratio, out=str(tmp_path / "d.png"))
+    assert (tmp_path / "d.png").exists()
