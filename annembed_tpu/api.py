@@ -40,7 +40,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           quality_sampling: float = 1.0, distance: str = "DistL2",
           nbng: int = 10, knn_params: Optional[KnnParams] = None,
           params: Optional[EmbedderParams] = None, delim: str = ",",
-          with_quality: bool = False, seed: int = 0):
+          with_quality: bool = False, seed: int = 0,
+          graph_cache: Optional[str] = None):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
     bin/embed.rs main flow :402-444).
 
@@ -65,7 +66,18 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
                                 seed=seed)
         emb = Embedder.from_hkgraph(proj, params)
     else:
-        g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+        # graph checkpoint/resume: the TPU analogue of the reference's
+        # HnswIo dump/reload (examples/higgs.rs:397-474)
+        import os
+        if graph_cache and os.path.exists(graph_cache):
+            from .io.checkpoint import load_kgraph
+            g = load_kgraph(graph_cache)
+            logger.info("loaded kNN graph checkpoint from %s", graph_cache)
+        else:
+            g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+            if graph_cache:
+                from .io.checkpoint import save_kgraph
+                save_kgraph(graph_cache, g)
         emb = Embedder.new(g, params)
     y = np.asarray(emb.embed())
     info = dict(emb.info)

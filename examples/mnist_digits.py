@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""MNIST-digits benchmark driver (reference examples/mnist_digits.rs).
+
+70k x 784 -> 2D with the reference's parameters (knbn=6,
+nb_grad_batch=30) plus quality estimation at nbng=50, intrinsic
+dimension and hubness statistics.  Expects the IDX files under
+--data-dir (train/t10k images+labels, optionally .gz); falls back to a
+deterministic synthetic 70k x 784 manifold when absent (this container
+has no network access).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def load_data(data_dir: str | None):
+    if data_dir and Path(data_dir).exists():
+        from annembed_tpu.io.mnist_io import load_mnist_full
+        return load_mnist_full(data_dir)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import synthetic_mnist
+    x = synthetic_mnist()
+    return x, np.zeros(len(x), np.int64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--out", default="mnist_digits_embedded.csv")
+    ap.add_argument("--plot", default=None)
+    args = ap.parse_args()
+
+    import annembed_tpu as at
+
+    x, labels = load_data(args.data_dir)
+    t0 = time.perf_counter()
+    # reference params: knbn=6, batch=30 (examples/mnist_digits.rs:93-123)
+    y, info = at.embed(x, dim=args.dim, nbng=6, batch=30,
+                       with_quality=True)
+    wall = time.perf_counter() - t0
+    g = at.build_kgraph(x, 25)
+    dim_mean, dim_sigma = at.intrinsic_dim_levina_bickel(g)
+    hub = at.Hubness.new(g)
+    print(json.dumps({
+        "wall_s": round(wall, 2),
+        "quality": info["quality"],
+        "intrinsic_dim": [round(dim_mean, 2), round(dim_sigma, 2)],
+        "hubness_skew": round(hub.get_standard3m(), 3),
+    }, default=float))
+    from annembed_tpu.io.csv_io import write_csv_labeled_array2
+    write_csv_labeled_array2(args.out, labels, y)
+    if args.plot:
+        from annembed_tpu import viz
+        viz.plot_embedding(y, labels, out=args.plot)
+
+
+if __name__ == "__main__":
+    main()

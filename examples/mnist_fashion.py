@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""MNIST-fashion benchmark driver (reference examples/mnist_fashion.rs):
+knbn=12, nb_grad_batch=25, quality at nbng=50; the reference's recorded
+quality numbers to compare against are in BASELINE.md (no-match 20260,
+conserved 5.07/6, median ratio 0.746 at dim 2)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from mnist_digits import load_data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--out", default="mnist_fashion_embedded.csv")
+    args = ap.parse_args()
+
+    import annembed_tpu as at
+
+    x, labels = load_data(args.data_dir)
+    t0 = time.perf_counter()
+    # reference params: knbn=12, batch=25 (examples/mnist_fashion.rs:92-124)
+    y, info = at.embed(x, dim=args.dim, nbng=12, batch=25,
+                       with_quality=True)
+    print(json.dumps({"wall_s": round(time.perf_counter() - t0, 2),
+                      "quality": info["quality"]}, default=float))
+    from annembed_tpu.io.csv_io import write_csv_labeled_array2
+    write_csv_labeled_array2(args.out, labels, y)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,29 @@ def test_idx_bad_magic(tmp_path):
         f.write(b"\x00" * 4)
     with pytest.raises(ValueError):
         mnist_io.read_image_file(p)
+
+
+def test_kgraph_checkpoint_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.io.checkpoint import save_kgraph, load_kgraph
+    x = rng.normal(size=(100, 5)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    p = tmp_path / "g.npz"
+    save_kgraph(p, g)
+    back = load_kgraph(p)
+    np.testing.assert_array_equal(np.asarray(back.indices), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(back.dists), np.asarray(dist))
+
+
+def test_reservoir_sampling():
+    from annembed_tpu.utils.reservoir import unweighted_reservoir
+    sample = unweighted_reservoir(100, range(10000), seed=1)
+    assert len(sample) == 100
+    assert len(set(sample)) == 100
+    # mean should be near the population mean (reference reservoir.rs:63-75)
+    assert abs(np.mean(sample) - 5000) < 1200
+    # short iterable returns everything
+    assert unweighted_reservoir(10, range(5)) == [0, 1, 2, 3, 4]
