@@ -144,6 +144,20 @@ def ce_value(y: jnp.ndarray, es: EdgeSet, b: float = 1.0,
     return jnp.sum(parts)
 
 
+@functools.partial(jax.jit, static_argnames=("b",))
+def ce_value_dense(y, g: KGraph, probas, scale, b: float = 1.0):
+    """Cross entropy directly from the (n, k) layout (used by the dense
+    optimizer; same value as ce_value on the flattened edges)."""
+    emb_scale = embedded_scales_from_initial(scale)
+    yi = y[:, None, :]
+    yj = y[g.indices]
+    d2s = jnp.sum(jnp.square(yi - yj), -1) \
+        / jnp.square(emb_scale)[:, None]
+    we = _cauchy_weight(d2s, b)
+    w = probas
+    return jnp.sum(-w * jnp.log(we) - (1.0 - w) * jnp.log1p(-we))
+
+
 # ---------------------------------------------------------------------------
 # one mini-batch update
 # ---------------------------------------------------------------------------

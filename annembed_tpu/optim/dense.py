@@ -1,0 +1,171 @@
+"""Dense-sweep CE optimizer — the TPU-native formulation.
+
+The sampling optimizer (optim/ce.py) reproduces the reference's
+per-sample Hogwild update exactly, but pays ~7 random gathers + a
+scatter per sample: at the reference's operating point (10 samples per
+edge x nb_grad_batch batches = O(10^8) samples on MNIST) random memory
+access dominates the TPU wall-clock.
+
+This module reformulates the same dynamics in the fixed (n, k) edge
+layout, replacing per-sample randomness with per-edge *multiplicity*:
+
+  * Edge e = (i, j, w) is sampled on average
+    m_e = nb_sampling_by_edge * k * w_e times per batch
+    (sampling is proportional to w, and sum_j w_ij = 1).  A clipped
+    attraction step moves each endpoint a fraction a of the way to the
+    other (a = -coeff_ij <= 0.49, embedder.rs:1228-1239), so m
+    consecutive applications shrink the pair distance by
+    (1 - 2a)^m — applied here in closed form, per sub-sweep with
+    multiplicity m_e / n_subsweeps.  This captures the *sequential*
+    clipped dynamics that naive batched summing overshoots.
+  * Each node performs nb_sampling_by_edge * k positive samples per
+    batch, hence 5x that many negative samples (embedder.rs:1241).
+    Negatives are drawn from a freshly permuted copy of the embedding
+    per sub-sweep (y_perm = y[perm]) and assigned to nodes as
+    *contiguous slices* of the permuted pool — a roll + reshape, zero
+    random gathers.  Pool positions within a sub-sweep are slightly
+    stale (one sync step), comparable to the reference's racy
+    ``try_read`` of concurrently-updated coordinates
+    (embedder.rs:1257-1265).
+  * Per sub-sweep there is exactly ONE scatter (the reverse attraction
+    onto destination nodes) and one structured gather (y[indices]);
+    everything else is dense row arithmetic on the VPU.
+
+Constants (clip -0.49, repulsion caps 2.0 and 1/16, annihilation
+1/PROBA_MIN, embedded scales 0.2*clamp(rho/mean, 1/4, 4), step decay
+gamma_0 (1 - iter/nb_batch)) are identical to the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..params import EmbedderParams, PROBA_MIN
+from ..graph.kgraph import KGraph
+from ..graph.proba import NodeParams
+from .ce import NB_NEGATIVE, _common_coeff, embedded_scales_from_initial
+
+logger = logging.getLogger(__name__)
+
+
+def _attraction_sweep(y, indices, w, m_e, emb_scale, gamma, b: float):
+    """Closed-form multi-sample attraction for all edges at once.
+
+    Returns (delta_self (n, d): sum over own out-edges for y_i,
+             delta_rev (n, k, d): per-edge move of the destination)."""
+    n, k = indices.shape
+    yi = y[:, None, :]                # (n, 1, d)
+    yj = y[indices]                   # (n, k, d)
+    scale = emb_scale[:, None]        # (n, 1)
+    d2 = jnp.sum(jnp.square(yi - yj), -1)            # (n, k)
+    d2s = d2 / jnp.square(scale)
+    coeff = _common_coeff(d2s, scale, b)             # (n, k)
+    rep_att = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / PROBA_MIN)
+    coeff_ij = jnp.maximum(gamma * coeff * (-w + (1.0 - w) * rep_att),
+                           -0.49)
+    coeff_ij = jnp.where(d2s > 0.0, coeff_ij, 0.0)
+    # per-sample both endpoints move alpha = -coeff_ij toward each
+    # other => pair distance shrinks by (1 - 2 alpha) per sample;
+    # after m_e samples the net per-endpoint displacement is
+    # (yj - yi) * (1 - (1 - 2 alpha)^m) / 2
+    alpha = -coeff_ij                                # > 0 = attraction
+    shrink = jnp.power(jnp.clip(1.0 - 2.0 * alpha, 1e-3, 1.02), m_e)
+    net = (1.0 - shrink) * 0.5                       # (n, k)
+    step_vec = (yj - yi) * net[:, :, None]           # (n, k, d)
+    return jnp.sum(step_vec, axis=1), -step_vec
+
+
+def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
+                     b: float, ids_pool, n_neg: int):
+    """Negative-sample repulsion for all nodes from the permuted pool.
+
+    y_pool: (n, d) = y[perm]; ids_pool: (n,) = perm.  Node i's
+    negatives are pool positions (i*n_neg + t + offset) mod n — i.e. a
+    roll + reshape of the pool, no random gathers.
+    Returns delta (n, d) to ADD to y (movement away from negatives)."""
+    n, d = y.shape
+    total = n * n_neg
+    pos = (jnp.arange(total) + pool_offset) % n
+    neg_ids = ids_pool[pos].reshape(n, n_neg)        # (n, n_neg)
+    yk = y_pool[pos].reshape(n, n_neg, d)            # (n, n_neg, d)
+
+    # rejection: negative == self or a neighbour of self
+    # (embedder.rs:1246-1252; j is a neighbour so neg != j is implied)
+    reject = (neg_ids == jnp.arange(n, dtype=neg_ids.dtype)[:, None])
+    reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
+
+    yi = y[:, None, :]
+    scale = emb_scale[:, None]
+    d2 = jnp.sum(jnp.square(yi - yk), -1)            # (n, n_neg)
+    d2s = d2 / jnp.square(scale)
+    coeff = _common_coeff(d2s, scale, b)
+    rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+    coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+    coeff_ik = jnp.where((d2s > 0.0) & jnp.logical_not(reject),
+                         coeff_ik, 0.0)
+    # y_i -= (yk - yi) * coeff_ik  => add (yi - yk) * coeff_ik
+    return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
+                                             "nb_grad_batch"))
+def dense_optimize(y0, indices, w, m_per_sub, emb_scale, key,
+                   grad_step_init: float, b: float, n_sub: int,
+                   n_neg: int, nb_grad_batch: int):
+    """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
+    with the reference's linear step decay."""
+    n, k = indices.shape
+    flat_dst = indices.reshape(-1)
+    total_steps = nb_grad_batch * n_sub
+    keys = jax.random.split(key, total_steps)
+
+    def body(y, args):
+        step_idx, kk = args
+        batch_idx = step_idx // n_sub + 1
+        gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                                  / nb_grad_batch)
+        k_perm, k_off = jax.random.split(kk)
+        perm = jax.random.permutation(k_perm, n)
+        y_pool = y[perm]
+        offset = jax.random.randint(k_off, (), 0, n)
+
+        d_self, d_rev = _attraction_sweep(y, indices, w, m_per_sub,
+                                          emb_scale, gamma, b)
+        d_neg = _repulsion_sweep(y, y_pool, offset, indices, emb_scale,
+                                 gamma, b, perm, n_neg)
+        y = y + d_self + d_neg
+        y = y.at[flat_dst].add(d_rev.reshape(-1, y.shape[1]))
+        return y, None
+
+    y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
+                        (jnp.arange(total_steps, dtype=jnp.int32), keys))
+    return y
+
+
+def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
+                           params: EmbedderParams,
+                           n_sub: int = 10) -> Tuple[jnp.ndarray, dict]:
+    """Driver with the reference's parameter semantics."""
+    n, k = g.indices.shape
+    w = npar.probas.astype(jnp.float32)
+    emb_scale = embedded_scales_from_initial(npar.scale)
+    # expected samples of edge e per sub-sweep
+    m_per_sub = params.nb_sampling_by_edge * k * w / n_sub
+    # negatives per node per sub-sweep
+    n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
+                         / n_sub))
+    key = jax.random.PRNGKey(params.seed)
+    y = dense_optimize(y0.astype(jnp.float32), g.indices, w, m_per_sub,
+                       emb_scale, key,
+                       grad_step_init=float(params.grad_step),
+                       b=float(params.b), n_sub=n_sub, n_neg=n_neg,
+                       nb_grad_batch=int(params.nb_grad_batch))
+    info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
+            "sweeps": int(params.nb_grad_batch) * n_sub}
+    return y, info

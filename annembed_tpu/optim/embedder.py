@@ -154,10 +154,25 @@ class Embedder:
     def _entropy_optimize(self, g: KGraph, npar: NodeParams,
                           init: jnp.ndarray) -> jnp.ndarray:
         p = self.params
-        hub = hubness_sampling_weights(g) if p.hubness_weighting else None
-        es = build_edge_set(g, npar, hubness_weights=hub)
         t0 = time.perf_counter()
-        y, info = run_entropy_optimization(init, es, p)
+        if p.optimizer == "dense" and not p.hubness_weighting:
+            from .dense import run_dense_optimization
+            from .ce import ce_value_dense
+            info = {"initial_ce": float(ce_value_dense(
+                init, g, npar.probas, npar.scale, p.b))}
+            y, dinfo = run_dense_optimization(init, g, npar, p,
+                                              n_sub=p.n_sub)
+            info.update(dinfo)
+            info["final_ce"] = float(ce_value_dense(
+                y, g, npar.probas, npar.scale, p.b))
+        else:
+            # hubness-weighted negative sampling needs the per-sample
+            # path (weighted negatives are incompatible with the
+            # contiguous-pool trick)
+            hub = (hubness_sampling_weights(g) if p.hubness_weighting
+                   else None)
+            es = build_edge_set(g, npar, hubness_weights=hub)
+            y, info = run_entropy_optimization(init, es, p)
         info["optimize_time"] = time.perf_counter() - t0
         logger.info("entropy optimization: %s", info)
         self.info.update(info)

@@ -77,6 +77,12 @@ class EmbedderParams:
     #: Hogwild; batch auto-capped at ~n/7); "mean": average them,
     #: bounding the per-node step and allowing much larger batches.
     collision_mode: str = "sum"
+    #: "dense": closed-form multiplicity sweeps in the (n, k) layout
+    #: (TPU-native, ~10-50x faster); "sampling": per-sample batched
+    #: updates exactly mirroring the reference's Hogwild step.
+    optimizer: str = "dense"
+    #: sub-sweeps per gradient batch for the dense optimizer.
+    n_sub: int = 10
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))
