@@ -85,6 +85,22 @@ def extract_neighbourhood(x, center, knbn: int, outbson: str,
     return nb
 
 
+def extract_projection_to_ripserer(x, knbn: int, fname: str,
+                                   sample_fraction: float = 0.05,
+                                   distance: str = "DistL2",
+                                   seed: int = 0) -> dict:
+    """Persistence input from the coarse (projected) graph
+    (toripserer.rs:131 + kgproj.rs:413 ``dump_sparse_mat_for_ripser``):
+    builds the two-level projection, dumps the small graph as sparse
+    "i j dist" triplets, returns the projection distance quantiles (the
+    reference logs these as a projection-quality measure)."""
+    from ..knn.hierarchy import build_projection
+    proj = build_projection(x, knbn, sample_fraction=sample_fraction,
+                            distance=distance, seed=seed)
+    to_ripser_sparse_dist(proj.small_graph, fname)
+    return proj.projection_distance_quantiles()
+
+
 def to_ripser_sparse_dist(g: KGraph, path: str) -> None:
     """Symmetrized text triplets "i j dist" (kgraph.rs:354-369)."""
     idx = np.asarray(g.indices)

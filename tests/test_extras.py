@@ -204,3 +204,15 @@ def test_viz_plots(tmp_path, rng):
     assert (tmp_path / "c.png").exists()
     viz.plot_first_dist_density(ratio, out=str(tmp_path / "d.png"))
     assert (tmp_path / "d.png").exists()
+
+
+def test_projection_ripser_dump(tmp_path, rng):
+    from annembed_tpu.io.ripser import extract_projection_to_ripserer
+    x = rng.normal(size=(300, 5)).astype(np.float32)
+    p = tmp_path / "proj.txt"
+    quants = extract_projection_to_ripserer(x, knbn=5, fname=str(p),
+                                            sample_fraction=0.2)
+    assert p.exists()
+    assert quants["q0.5"] >= 0
+    n_lines = len(open(p).read().strip().split("\n"))
+    assert n_lines == 2 * 5 * round(300 * 0.2)
