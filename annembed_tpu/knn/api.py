@@ -32,6 +32,10 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
         idx, dist = knn_graph_ivf(x, knbn, distance=distance,
                                   nlist=params.nlist, nprobe=params.nprobe,
                                   dtype=params.dtype)
+        if params.refine_rounds > 0:
+            from .nndescent import nndescent_refine
+            idx, dist = nndescent_refine(x, idx, dist,
+                                         n_rounds=params.refine_rounds)
     return KGraph(indices=idx, dists=dist)
 
 

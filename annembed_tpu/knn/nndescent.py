@@ -54,16 +54,19 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
     pad_rows = n_blocks * block_rows - n
     idx_p = jnp.pad(indices, ((0, pad_rows), (0, 0)), constant_values=n)
     dist_p = jnp.pad(dists, ((0, pad_rows), (0, 0)))
-    rev_p = jnp.pad(rev, ((0, pad_rows), (0, 0)), constant_values=n)
     rid_p = jnp.arange(n_blocks * block_rows, dtype=jnp.int32)
 
-    idx_pp = jnp.pad(indices, ((0, 1), (0, 0)), constant_values=n)
+    # general neighbourhood B(i) = forward ∪ reverse (Dong et al.: the
+    # local join must run over the symmetrized lists, otherwise
+    # information propagates only one directed hop per round)
+    union = jnp.concatenate([indices, rev], axis=1)          # (n, k+rc)
+    union_pp = jnp.pad(union, ((0, 1), (0, 0)), constant_values=n)
+    union_p = jnp.pad(union, ((0, pad_rows), (0, 0)), constant_values=n)
 
     def one(args):
-        cur_idx, cur_dist, rv, rid = args   # (b,k),(b,k),(b,rc),(b,)
-        # candidates: neighbours-of-neighbours + reverse neighbours
-        two_hop = idx_pp[cur_idx].reshape(cur_idx.shape[0], -1)  # (b, k*k)
-        cand = jnp.concatenate([two_hop, rv], axis=1)            # (b, C)
+        cur_idx, cur_dist, uni, rid = args  # (b,k),(b,k),(b,k+rc),(b,)
+        # candidates: B(B(i))
+        cand = union_pp[uni].reshape(uni.shape[0], -1)  # (b, (k+rc)^2)
         q = x_pad[rid]                                            # (b, d)
         xc = x_pad[cand]                                          # (b, C, d)
         d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
@@ -81,7 +84,7 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
     ni, nd = jax.lax.map(one, (
         idx_p.reshape(n_blocks, block_rows, -1),
         dist_p.reshape(n_blocks, block_rows, -1),
-        rev_p.reshape(n_blocks, block_rows, -1),
+        union_p.reshape(n_blocks, block_rows, -1),
         rid_p.reshape(n_blocks, block_rows)))
     ni = ni.reshape(-1, k)[:n]
     nd = nd.reshape(-1, k)[:n]

@@ -206,3 +206,5 @@ class KnnParams:
     nprobe: int = 16
     #: Matmul dtype for distance panels ("float32" or "bfloat16").
     dtype: str = "float32"
+    #: NN-descent refinement rounds applied after IVF (0 = none).
+    refine_rounds: int = 1

@@ -58,3 +58,21 @@ def test_ivf_no_self_edges(rng):
     idx, _ = knn_graph_ivf(x, k=6, nlist=16, nprobe=6)
     rows = np.arange(1500)[:, None]
     assert not (np.asarray(idx) == rows).any()
+
+
+def test_ivf_plus_nndescent_via_api(rng):
+    from annembed_tpu.params import KnnParams
+    from annembed_tpu.knn.api import build_kgraph
+    x = rng.normal(size=(3000, 8)).astype(np.float32)
+    exact_idx, _ = knn_graph_brute(x, k=8)
+    kp = KnnParams(knbn=8, brute_force_limit=1000, nlist=24, nprobe=8,
+                   refine_rounds=2)
+    g = build_kgraph(x, 8, params=kp)
+    rec = recall_at_k(g.indices, exact_idx)
+    # lower-probe IVF alone misses neighbours; nn-descent repairs
+    kp0 = KnnParams(knbn=8, brute_force_limit=1000, nlist=24, nprobe=8,
+                    refine_rounds=0)
+    g0 = build_kgraph(x, 8, params=kp0)
+    rec0 = recall_at_k(g0.indices, exact_idx)
+    assert rec > rec0
+    assert rec > 0.95, (rec0, rec)
