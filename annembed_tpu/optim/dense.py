@@ -54,29 +54,46 @@ from .ce import NB_NEGATIVE, _common_coeff, embedded_scales_from_initial
 logger = logging.getLogger(__name__)
 
 
-def _attraction_sweep(y, indices, w, m_e, emb_scale, gamma, b: float):
-    """Closed-form multi-sample attraction for all edges at once.
-
-    Returns (delta_self (n, d): sum over own out-edges for y_i,
-             delta_rev (n, k, d): per-edge move of the destination)."""
-    n, k = indices.shape
-    yi = y[:, None, :]                # (n, 1, d)
-    yj = y[indices]                   # (n, k, d)
-    scale = emb_scale[:, None]        # (n, 1)
-    d2 = jnp.sum(jnp.square(yi - yj), -1)            # (n, k)
-    d2s = d2 / jnp.square(scale)
-    coeff = _common_coeff(d2s, scale, b)             # (n, k)
+def _clipped_alpha(d2s, scale, w, gamma, b):
+    """Per-sample attraction fraction alpha = -coeff_ij
+    (embedder.rs:1216-1239)."""
+    coeff = _common_coeff(d2s, scale, b)
     rep_att = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / PROBA_MIN)
     coeff_ij = jnp.maximum(gamma * coeff * (-w + (1.0 - w) * rep_att),
                            -0.49)
-    coeff_ij = jnp.where(d2s > 0.0, coeff_ij, 0.0)
-    # per-sample both endpoints move alpha = -coeff_ij toward each
-    # other => pair distance shrinks by (1 - 2 alpha) per sample;
-    # after m_e samples the net per-endpoint displacement is
-    # (yj - yi) * (1 - (1 - 2 alpha)^m) / 2
-    alpha = -coeff_ij                                # > 0 = attraction
-    shrink = jnp.power(jnp.clip(1.0 - 2.0 * alpha, 1e-3, 1.02), m_e)
-    net = (1.0 - shrink) * 0.5                       # (n, k)
+    return jnp.where(d2s > 0.0, -coeff_ij, 0.0)
+
+
+def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
+                      b: float):
+    """Closed-form multi-sample attraction for all edges at once.
+
+    A pair (i, j) is touched by both directed edges (i->j with
+    multiplicity m_e and j->i with m_rev; m_rev = 0 when j does not
+    list i).  Each sample moves both endpoints a clipped fraction alpha
+    of the gap, so the gap shrinks by (1-2a_f)^{m} (1-2a_r)^{m_rev}
+    after all samples of the pair — computed identically from either
+    row.  Each directed edge applies its multiplicity share of the net
+    per-endpoint displacement so mutual pairs are not double-counted
+    (the naive per-direction form overshoots by (1-f_ij)(1-f_ji), which
+    oscillates at the clip).
+
+    Returns (delta_self (n, d), delta_rev (n, k, d))."""
+    n, k = indices.shape
+    yi = y[:, None, :]                # (n, 1, d)
+    yj = y[indices]                   # (n, k, d)
+    scale_i = emb_scale[:, None]      # (n, 1)
+    scale_j = emb_scale[indices]      # (n, k)
+    d2 = jnp.sum(jnp.square(yi - yj), -1)            # (n, k)
+
+    alpha_f = _clipped_alpha(d2 / jnp.square(scale_i), scale_i, w,
+                             gamma, b)
+    alpha_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
+                             gamma, b)
+    f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_e) \
+        * jnp.power(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05), m_rev)
+    share = m_e / jnp.maximum(m_e + m_rev, 1e-30)
+    net = share * (1.0 - f_pair) * 0.5               # (n, k)
     step_vec = (yj - yi) * net[:, :, None]           # (n, k, d)
     return jnp.sum(step_vec, axis=1), -step_vec
 
@@ -113,9 +130,21 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
     return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
 
 
+def reverse_edge_weights(indices: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(n, k) weight of the reverse edge: w_rev[i, l] = w[j -> i] where
+    j = indices[i, l], or 0 if j does not list i.  One (n, k, k)
+    comparison at build time."""
+    n, k = indices.shape
+    idx_j = indices[indices]          # (n, k, k)
+    w_j = w[indices]                  # (n, k, k)
+    me = jnp.arange(n, dtype=indices.dtype)[:, None, None]
+    return jnp.sum(jnp.where(idx_j == me, w_j, 0.0), axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
                                              "nb_grad_batch"))
-def dense_optimize(y0, indices, w, m_per_sub, emb_scale, key,
+def dense_optimize(y0, indices, w, m_per_sub, w_rev, m_rev_per_sub,
+                   emb_scale, key,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
@@ -136,6 +165,7 @@ def dense_optimize(y0, indices, w, m_per_sub, emb_scale, key,
         offset = jax.random.randint(k_off, (), 0, n)
 
         d_self, d_rev = _attraction_sweep(y, indices, w, m_per_sub,
+                                          w_rev, m_rev_per_sub,
                                           emb_scale, gamma, b)
         d_neg = _repulsion_sweep(y, y_pool, offset, indices, emb_scale,
                                  gamma, b, perm, n_neg)
@@ -157,12 +187,14 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     emb_scale = embedded_scales_from_initial(npar.scale)
     # expected samples of edge e per sub-sweep
     m_per_sub = params.nb_sampling_by_edge * k * w / n_sub
+    w_rev = reverse_edge_weights(g.indices, w)
+    m_rev_per_sub = params.nb_sampling_by_edge * k * w_rev / n_sub
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
                          / n_sub))
     key = jax.random.PRNGKey(params.seed)
     y = dense_optimize(y0.astype(jnp.float32), g.indices, w, m_per_sub,
-                       emb_scale, key,
+                       w_rev, m_rev_per_sub, emb_scale, key,
                        grad_step_init=float(params.grad_step),
                        b=float(params.b), n_sub=n_sub, n_neg=n_neg,
                        nb_grad_batch=int(params.nb_grad_batch))

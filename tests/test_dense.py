@@ -1,0 +1,112 @@
+"""Dense-sweep optimizer unit tests: closed-form multiplicity math and
+end-to-end behavior vs the sampling path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from annembed_tpu.knn.brute import knn_graph_brute
+from annembed_tpu.graph.kgraph import KGraph
+from annembed_tpu.graph.proba import to_proba_edges
+from annembed_tpu.optim.dense import (_attraction_sweep, _repulsion_sweep,
+                                      run_dense_optimization)
+from annembed_tpu.optim.ce import embedded_scales_from_initial, \
+    ce_value_dense
+from annembed_tpu.params import EmbedderParams
+
+
+def _ref_sample(y, i, j, w, scale, gamma):
+    """One reference per-sample attraction update (embedder.rs:1216-1239,
+    attraction part), applied sequentially."""
+    d2 = float(((y[i] - y[j]) ** 2).sum())
+    d2s = d2 / scale ** 2
+    coeff = 2.0 / (1.0 + d2s) / scale ** 2
+    rep = 1.0 / max(d2s ** 2, 1e4)
+    c = max(gamma * coeff * (-w + (1 - w) * rep), -0.49)
+    if d2s <= 0:
+        return y
+    g = (y[j] - y[i]) * c
+    y = y.copy()
+    y[i] -= g
+    y[j] += g
+    return y
+
+
+def test_attraction_closed_form_matches_sequential():
+    """The pair-shared closed form reproduces the gap of truly
+    sequential clipped samples (clip-active regime: exact)."""
+    indices = jnp.array([[1], [0]], jnp.int32)
+    w = jnp.array([[1.0], [1.0]], jnp.float32)
+    emb_scale = jnp.array([0.2, 0.2], jnp.float32)
+    y0 = np.array([[0.0, 0.0], [1.0, 0.0]], np.float32)
+    gamma = 1.0
+    m = 2
+
+    # sequential oracle: alternate the two directed edges, m samples each
+    y_seq = y0.copy()
+    for _ in range(m):
+        y_seq = _ref_sample(y_seq, 0, 1, 1.0, 0.2, gamma)
+        y_seq = _ref_sample(y_seq, 1, 0, 1.0, 0.2, gamma)
+    gap_seq = np.linalg.norm(y_seq[0] - y_seq[1])
+
+    d_self, d_rev = _attraction_sweep(
+        jnp.asarray(y0), indices, w, jnp.full((2, 1), float(m)),
+        w, jnp.full((2, 1), float(m)), emb_scale, jnp.float32(gamma), 1.0)
+    y_m = jnp.asarray(y0) + d_self
+    y_m = y_m.at[indices.reshape(-1)].add(d_rev.reshape(-1, 2))
+    gap_m = float(jnp.linalg.norm(y_m[0] - y_m[1]))
+    # clip active throughout: gap shrinks exactly by 0.02 per sample
+    np.testing.assert_allclose(np.log(gap_m), np.log(gap_seq), rtol=0.05)
+    # and the closed form must be monotone (no sign flip / oscillation)
+    assert gap_m > 0 and gap_m < 1e-3
+
+
+def test_repulsion_moves_away():
+    n, d = 16, 2
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (n, d))
+    indices = jnp.tile(jnp.arange(4, dtype=jnp.int32)[None, :], (n, 1))
+    emb_scale = jnp.full((n,), 0.2, jnp.float32)
+    perm = jax.random.permutation(jax.random.PRNGKey(1), n)
+    delta = _repulsion_sweep(y, y[perm], jnp.array(0), indices, emb_scale,
+                             jnp.float32(1.0), 1.0, perm, 4)
+    assert np.isfinite(np.asarray(delta)).all()
+    # mean displacement points outward from the centroid of negatives
+    y2 = y + delta
+    spread0 = float(jnp.var(y))
+    spread1 = float(jnp.var(y2))
+    assert spread1 >= spread0 * 0.99  # repulsion never contracts
+
+
+def test_dense_optimization_end_to_end(rng):
+    centers = rng.normal(size=(3, 10)) * 10
+    x = np.concatenate([centers[i] + rng.normal(size=(100, 10))
+                        for i in range(3)]).astype(np.float32)
+    labels = np.repeat(np.arange(3), 100)
+    idx, dist = knn_graph_brute(x, k=8)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (300, 2)).astype(np.float32))
+    params = EmbedderParams(nb_grad_batch=10, optimizer="dense")
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    y, info = run_dense_optimization(y0, g, npar, params)
+    ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+    assert np.isfinite(np.asarray(y)).all()
+    assert ce1 < ce0
+    mus = np.stack([np.asarray(y)[labels == i].mean(0) for i in range(3)])
+    d_to = np.linalg.norm(np.asarray(y)[:, None] - mus[None], axis=-1)
+    acc = (d_to.argmin(1) == labels).mean()
+    assert acc > 0.9, acc
+
+
+def test_ce_value_dense_matches_flat(rng):
+    from annembed_tpu.optim.ce import build_edge_set, ce_value
+    x = rng.normal(size=(200, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    es = build_edge_set(g, npar)
+    y = jnp.asarray(rng.normal(size=(200, 2)).astype(np.float32))
+    a = float(ce_value(y, es, b=1.0))
+    b_ = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+    np.testing.assert_allclose(a, b_, rtol=1e-4)
