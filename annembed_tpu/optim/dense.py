@@ -151,6 +151,11 @@ def dense_optimize(y0, indices, w, m_per_sub, w_rev, m_rev_per_sub,
     with the reference's linear step decay."""
     n, k = indices.shape
     flat_dst = indices.reshape(-1)
+    # pre-sort the reverse-scatter targets once: a gather into sorted
+    # order + a sorted segment-sum is much cheaper on TPU than a random
+    # scatter of n*k rows every sweep
+    dst_order = jnp.argsort(flat_dst)
+    dst_sorted = flat_dst[dst_order]
     total_steps = nb_grad_batch * n_sub
     keys = jax.random.split(key, total_steps)
 
@@ -169,9 +174,11 @@ def dense_optimize(y0, indices, w, m_per_sub, w_rev, m_rev_per_sub,
                                           emb_scale, gamma, b)
         d_neg = _repulsion_sweep(y, y_pool, offset, indices, emb_scale,
                                  gamma, b, perm, n_neg)
-        y = y + d_self + d_neg
-        y = y.at[flat_dst].add(d_rev.reshape(-1, y.shape[1]))
-        return y, None
+        rev_sorted = d_rev.reshape(-1, y.shape[1])[dst_order]
+        rev_sum = jax.ops.segment_sum(rev_sorted, dst_sorted,
+                                      num_segments=n,
+                                      indices_are_sorted=True)
+        return y + d_self + d_neg + rev_sum, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
                         (jnp.arange(total_steps, dtype=jnp.int32), keys))
