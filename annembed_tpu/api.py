@@ -85,6 +85,18 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     if with_quality:
         q = emb.get_quality_estimate_from_edge_length()
         info["quality"] = q.summary()
+        if outfile:
+            # per-node diagnostic dumps next to the embedding
+            # (reference embedder.rs:729-743 writes first_dist.csv and
+            # continuity_ratio.csv)
+            import os
+            from .io.csv_io import write_csv_labeled_array2
+            d = os.path.dirname(os.fspath(outfile)) or "."
+            write_csv_labeled_array2(os.path.join(d, "first_dist.csv"),
+                                     np.asarray(q.first_dist), y)
+            write_csv_labeled_array2(
+                os.path.join(d, "continuity_ratio.csv"),
+                np.asarray(q.ratio_by_node), y)
     if outfile:
         from .io.csv_io import write_csv_array2
         write_csv_array2(outfile, y)

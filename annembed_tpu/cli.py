@@ -54,6 +54,11 @@ def main_embed(argv=None) -> int:
     p.add_argument("--scale", type=float, default=1.0, help="scale_rho")
     p.add_argument("--quality", action="store_true",
                    help="compute the neighborhood-conservation estimate")
+    p.add_argument("--stats", action="store_true",
+                   help="intrinsic dimension + hubness statistics "
+                        "(reference bin/embed.rs optional stats)")
+    p.add_argument("--graph-cache", default=None,
+                   help="save/load the kNN graph (npz)")
     args = p.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING)
@@ -66,11 +71,24 @@ def main_embed(argv=None) -> int:
                     scale=args.scale, quality_sampling=args.sampling,
                     distance=args.distance, nbng=args.nbng, knn_params=kp,
                     with_quality=args.quality, delim=args.delim,
-                    seed=args.seed)
-    print(json.dumps({"n": int(y.shape[0]), "dim": int(y.shape[1]),
-                      **{k: v for k, v in info.items()
-                         if isinstance(v, (int, float, dict))}},
-                     default=float))
+                    seed=args.seed, graph_cache=args.graph_cache)
+    out = {"n": int(y.shape[0]), "dim": int(y.shape[1]),
+           **{k: v for k, v in info.items()
+              if isinstance(v, (int, float, dict))}}
+    if args.stats:
+        from .io.csv_io import get_toembed_from_csv
+        from . import (build_kgraph, intrinsic_dim_levina_bickel,
+                       intrinsic_dim_2nn, Hubness)
+        x = get_toembed_from_csv(args.csv, delimiter=args.delim,
+                                 subsample=args.sampling)
+        gs = build_kgraph(x, max(args.nbng, 20), distance=args.distance)
+        mean, sigma = intrinsic_dim_levina_bickel(gs)
+        hub = Hubness.new(gs)
+        out["intrinsic_dim"] = [mean, sigma]
+        out["intrinsic_dim_2nn"] = intrinsic_dim_2nn(gs)
+        out["hubness_skew"] = hub.get_standard3m()
+        out["hubness_hist"] = hub.get_hubness_histogram()
+    print(json.dumps(out, default=float))
     return 0
 
 
