@@ -130,32 +130,76 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
     return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
 
 
-def reverse_edge_weights(indices: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """(n, k) weight of the reverse edge: w_rev[i, l] = w[j -> i] where
-    j = indices[i, l], or 0 if j does not list i.  One (n, k, k)
-    comparison at build time."""
+def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
+    """Reverse-edge weight and column: for edge l of node i with
+    j = indices[i, l], w_rev[i, l] = w[j -> i] (0 if j does not list i)
+    and rev_col[i, l] = the column of i within j's row (-1 if absent).
+    One (n, k, k) comparison at build time."""
     n, k = indices.shape
     idx_j = indices[indices]          # (n, k, k)
     w_j = w[indices]                  # (n, k, k)
     me = jnp.arange(n, dtype=indices.dtype)[:, None, None]
-    return jnp.sum(jnp.where(idx_j == me, w_j, 0.0), axis=-1)
+    hit = idx_j == me
+    w_rev = jnp.sum(jnp.where(hit, w_j, 0.0), axis=-1)
+    rev_col = jnp.where(hit.any(-1), jnp.argmax(hit, axis=-1), -1)
+    return w_rev, rev_col.astype(jnp.int32)
+
+
+# backward-compatible alias used by tests
+def reverse_edge_weights(indices, w):
+    return reverse_edge_info(indices, w)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
-                                             "nb_grad_batch"))
-def dense_optimize(y0, indices, w, m_per_sub, w_rev, m_rev_per_sub,
+                                             "nb_grad_batch", "n_groups"))
+def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    emb_scale, key,
                    grad_step_init: float, b: float, n_sub: int,
-                   n_neg: int, nb_grad_batch: int):
+                   n_neg: int, nb_grad_batch: int, n_groups: int = 1):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
-    with the reference's linear step decay."""
+    with the reference's linear step decay.
+
+    Column grouping: each sub-sweep processes a static column slice of
+    the (n, k) edge table (1/n_groups of the edges), round-robin, with
+    per-visit multiplicity scaled by n_groups.  This keeps the
+    per-sync-step displacement (the quality knob) while paying
+    1/n_groups of the gather + segment-sum cost per step.  A reverse
+    edge that lives in a different column group fires in a different
+    sweep, so its pair share is zeroed here (rev_col check)."""
     n, k = indices.shape
-    flat_dst = indices.reshape(-1)
-    # pre-sort the reverse-scatter targets once: a gather into sorted
-    # order + a sorted segment-sum is much cheaper on TPU than a random
-    # scatter of n*k rows every sweep
-    dst_order = jnp.argsort(flat_dst)
-    dst_sorted = flat_dst[dst_order]
+    assert k % n_groups == 0, "k must be divisible by n_groups"
+    kg = k // n_groups
+    dim = y0.shape[1]
+
+    groups = []
+    for c in range(n_groups):
+        sl = slice(c * kg, (c + 1) * kg)
+        idx_g = indices[:, sl]
+        flat = idx_g.reshape(-1)
+        order = jnp.argsort(flat)
+        same_group = (rev_col[:, sl] // kg) == c
+        groups.append(dict(
+            idx=idx_g, w=w[:, sl], m=m_visit[:, sl],
+            w_rev=jnp.where(same_group, w_rev[:, sl], 0.0),
+            m_rev=jnp.where(same_group, m_rev_visit[:, sl], 0.0),
+            order=order, dst_sorted=flat[order]))
+
+    def make_branch(c):
+        gd = groups[c]
+
+        def branch(y, gamma):
+            d_self, d_rev = _attraction_sweep(
+                y, gd["idx"], gd["w"], gd["m"], gd["w_rev"], gd["m_rev"],
+                emb_scale, gamma, b)
+            rev_sorted = d_rev.reshape(-1, dim)[gd["order"]]
+            rev_sum = jax.ops.segment_sum(rev_sorted, gd["dst_sorted"],
+                                          num_segments=n,
+                                          indices_are_sorted=True)
+            return y + d_self + rev_sum
+
+        return branch
+
+    branches = [make_branch(c) for c in range(n_groups)]
     total_steps = nb_grad_batch * n_sub
     keys = jax.random.split(key, total_steps)
 
@@ -164,47 +208,54 @@ def dense_optimize(y0, indices, w, m_per_sub, w_rev, m_rev_per_sub,
         batch_idx = step_idx // n_sub + 1
         gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
                                   / nb_grad_batch)
+        y = jax.lax.switch(step_idx % n_groups, branches, y, gamma)
+
         k_perm, k_off = jax.random.split(kk)
         perm = jax.random.permutation(k_perm, n)
         y_pool = y[perm]
         offset = jax.random.randint(k_off, (), 0, n)
-
-        d_self, d_rev = _attraction_sweep(y, indices, w, m_per_sub,
-                                          w_rev, m_rev_per_sub,
-                                          emb_scale, gamma, b)
         d_neg = _repulsion_sweep(y, y_pool, offset, indices, emb_scale,
                                  gamma, b, perm, n_neg)
-        rev_sorted = d_rev.reshape(-1, y.shape[1])[dst_order]
-        rev_sum = jax.ops.segment_sum(rev_sorted, dst_sorted,
-                                      num_segments=n,
-                                      indices_are_sorted=True)
-        return y + d_self + d_neg + rev_sum, None
+        return y + d_neg, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
                         (jnp.arange(total_steps, dtype=jnp.int32), keys))
     return y
 
 
+def _auto_groups(k: int) -> int:
+    for g in (4, 3, 2):
+        if k % g == 0 and k // g >= 2:
+            return g
+    return 1
+
+
 def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                            params: EmbedderParams,
-                           n_sub: int = 10) -> Tuple[jnp.ndarray, dict]:
+                           n_sub: int = 10,
+                           n_groups: int = 0) -> Tuple[jnp.ndarray, dict]:
     """Driver with the reference's parameter semantics."""
     n, k = g.indices.shape
+    if n_groups <= 0:
+        n_groups = _auto_groups(k)
     w = npar.probas.astype(jnp.float32)
     emb_scale = embedded_scales_from_initial(npar.scale)
-    # expected samples of edge e per sub-sweep
-    m_per_sub = params.nb_sampling_by_edge * k * w / n_sub
-    w_rev = reverse_edge_weights(g.indices, w)
-    m_rev_per_sub = params.nb_sampling_by_edge * k * w_rev / n_sub
+    # expected samples of edge e per *visit* (a group is visited every
+    # n_groups-th sweep, n_sub / n_groups visits per batch)
+    m_visit = params.nb_sampling_by_edge * k * w * n_groups / n_sub
+    w_rev, rev_col = reverse_edge_info(g.indices, w)
+    m_rev_visit = params.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
                          / n_sub))
     key = jax.random.PRNGKey(params.seed)
-    y = dense_optimize(y0.astype(jnp.float32), g.indices, w, m_per_sub,
-                       w_rev, m_rev_per_sub, emb_scale, key,
+    y = dense_optimize(y0.astype(jnp.float32), g.indices, w, m_visit,
+                       w_rev, m_rev_visit, rev_col, emb_scale, key,
                        grad_step_init=float(params.grad_step),
                        b=float(params.b), n_sub=n_sub, n_neg=n_neg,
-                       nb_grad_batch=int(params.nb_grad_batch))
+                       nb_grad_batch=int(params.nb_grad_batch),
+                       n_groups=n_groups)
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
+            "n_groups": n_groups,
             "sweeps": int(params.nb_grad_batch) * n_sub}
     return y, info

@@ -81,8 +81,11 @@ class EmbedderParams:
     #: (TPU-native, ~10-50x faster); "sampling": per-sample batched
     #: updates exactly mirroring the reference's Hogwild step.
     optimizer: str = "dense"
-    #: sub-sweeps per gradient batch for the dense optimizer.
-    n_sub: int = 10
+    #: sub-sweeps per gradient batch for the dense optimizer; 30 gives
+    #: sync granularity that empirically matches the per-sample
+    #: optimizer's embedding quality (column grouping keeps the cost of
+    #: the extra sweeps low).
+    n_sub: int = 30
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))
