@@ -163,6 +163,105 @@ def make_sharded_train_step(mesh: Mesh, b: float = 1.0,
     return jax.jit(fn)
 
 
+def make_sharded_dense_step(mesh: Mesh, b: float = 1.0, n_neg: int = 10):
+    """Data-parallel dense sweep: node rows (and their (n, k) edge
+    table) sharded across the mesh, the (n, d) embedding replicated.
+
+    Each device computes the attraction of its row shard (self moves +
+    reverse contributions gathered from the replicated y) and its rows'
+    pool repulsion; the per-device deltas are psum-merged over ICI.
+    Inputs per device: row0 (1,) first global row of the shard;
+    indices/w/m_visit/w_rev/m_rev: (n/ndev, k) shards; emb_scale and y
+    replicated."""
+    from ..optim.dense import _clipped_alpha
+    from ..optim.ce import _common_coeff
+    from ..params import PROBA_MIN
+
+    def step(y, key, row0, indices, w, m_visit, w_rev, m_rev, emb_scale,
+             gamma):
+        n, d = y.shape
+        m_rows, k = indices.shape
+        dev = jax.lax.axis_index("data")
+        kk = jax.random.fold_in(key, dev)
+        r0 = row0[0]
+        yi_rows = jax.lax.dynamic_slice(y, (r0, 0), (m_rows, d))
+        scale_i = jax.lax.dynamic_slice(emb_scale, (r0,), (m_rows,))
+
+        # attraction (pair-shared closed form, optim/dense.py)
+        yi = yi_rows[:, None, :]
+        yj = y[indices]
+        scale_j = emb_scale[indices]
+        d2 = jnp.sum(jnp.square(yi - yj), -1)
+        a_f = _clipped_alpha(d2 / jnp.square(scale_i[:, None]),
+                             scale_i[:, None], w, gamma, b)
+        a_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
+                             gamma, b)
+        f_pair = jnp.power(jnp.clip(1 - 2 * a_f, 1e-3, 1.05), m_visit) \
+            * jnp.power(jnp.clip(1 - 2 * a_r, 1e-3, 1.05), m_rev)
+        share = m_visit / jnp.maximum(m_visit + m_rev, 1e-30)
+        net = share * (1.0 - f_pair) * 0.5
+        step_vec = (yj - yi) * net[:, :, None]
+
+        # repulsion from the permuted pool (contiguous slices)
+        k_perm, k_off = jax.random.split(kk)
+        perm = jax.random.permutation(k_perm, n)
+        y_pool = y[perm]
+        offset = jax.random.randint(k_off, (), 0, n)
+        pos = (r0 * n_neg + jnp.arange(m_rows * n_neg) + offset) % n
+        neg_ids = perm[pos].reshape(m_rows, n_neg)
+        yk = y_pool[pos].reshape(m_rows, n_neg, d)
+        gids = r0 + jnp.arange(m_rows, dtype=neg_ids.dtype)
+        reject = (neg_ids == gids[:, None]) \
+            | (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
+        d2k = jnp.sum(jnp.square(yi - yk), -1) / jnp.square(scale_i)[:, None]
+        coeff_k = _common_coeff(d2k, scale_i[:, None], b)
+        rep = 1.0 / jnp.maximum(jnp.square(d2k), 1.0 / 16.0)
+        coeff_ik = jnp.minimum(gamma * coeff_k * rep, 2.0)
+        coeff_ik = jnp.where((d2k > 0) & ~reject, coeff_ik, 0.0)
+        d_neg = jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
+
+        delta = jnp.zeros_like(y)
+        delta = jax.lax.dynamic_update_slice(
+            delta, jnp.sum(step_vec, axis=1) + d_neg, (r0, 0))
+        delta = delta.at[indices.reshape(-1)].add(
+            -step_vec.reshape(-1, d))
+        return y + jax.lax.psum(delta, "data")
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(), P(), P("data"), P("data", None),
+                             P("data", None), P("data", None),
+                             P("data", None), P("data", None), P(), P()),
+                   out_specs=P())
+    return jax.jit(fn)
+
+
+def shard_dense_inputs(g, npar, params, mesh: Mesh):
+    """Build + device_put the sharded dense-step inputs.  Requires n
+    divisible by the mesh size (pad upstream if needed)."""
+    import numpy as _np
+    from ..optim.dense import reverse_edge_info
+    from ..optim.ce import embedded_scales_from_initial
+
+    n, k = g.indices.shape
+    ndev = mesh.devices.size
+    assert n % ndev == 0, "pad n to a multiple of the mesh size"
+    w = npar.probas.astype(jnp.float32)
+    w_rev, _ = reverse_edge_info(g.indices, w)
+    n_sub = params.n_sub
+    m_visit = params.nb_sampling_by_edge * k * w / n_sub
+    m_rev = params.nb_sampling_by_edge * k * w_rev / n_sub
+    emb_scale = embedded_scales_from_initial(npar.scale)
+    row0 = jnp.asarray(_np.arange(ndev, dtype=_np.int32) * (n // ndev))
+
+    sh = NamedSharding(mesh, P("data"))
+    sh2 = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    return (jax.device_put(row0, sh),
+            jax.device_put(g.indices, sh2), jax.device_put(w, sh2),
+            jax.device_put(m_visit, sh2), jax.device_put(w_rev, sh2),
+            jax.device_put(m_rev, sh2), jax.device_put(emb_scale, rep))
+
+
 def shard_edge_set(es: EdgeSet, mesh: Mesh):
     """Pad + device-put the edge arrays along the mesh; returns the
     tuple consumed by the sharded train step."""

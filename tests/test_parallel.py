@@ -65,3 +65,27 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(o)).all()
                for o in jax.tree_util.tree_leaves(out))
+
+
+def test_sharded_dense_step(rng, mesh):
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.params import EmbedderParams
+    from annembed_tpu.parallel.sharded import (make_sharded_dense_step,
+                                               shard_dense_inputs)
+    n = 256
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    params = EmbedderParams(n_sub=10)
+    inputs = shard_dense_inputs(g, npar, params, mesh)
+    step = make_sharded_dense_step(mesh, b=1.0, n_neg=5)
+    y0 = jnp.asarray(rng.uniform(-5, 5, size=(n, 2)).astype(np.float32))
+    y1 = step(y0, jax.random.PRNGKey(0), *inputs, jnp.float32(1.0))
+    y1 = np.asarray(y1)
+    assert np.isfinite(y1).all()
+    assert np.abs(y1 - np.asarray(y0)).max() > 0
+    # determinism
+    y1b = np.asarray(step(y0, jax.random.PRNGKey(0), *inputs,
+                          jnp.float32(1.0)))
+    np.testing.assert_array_equal(y1, y1b)
