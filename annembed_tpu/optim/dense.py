@@ -98,6 +98,33 @@ def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
     return jnp.sum(step_vec, axis=1), -step_vec
 
 
+def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
+                                   emb_scale, gamma, b: float):
+    """Scatter-free attraction: each row applies only its own
+    endpoint's displacement.  A mutual pair is handled half by each of
+    its two rows (each moves itself (1-F)/2 toward the other); a
+    one-sided edge closes the full gap from the source side (the
+    umap-learn move_other=False convention).  Eliminates the reverse
+    segment-sum — the most expensive op of the sweep on TPU.
+
+    Returns delta_self (n, d)."""
+    yi = y[:, None, :]
+    yj = y[indices]
+    scale_i = emb_scale[:, None]
+    scale_j = emb_scale[indices]
+    d2 = jnp.sum(jnp.square(yi - yj), -1)
+    alpha_f = _clipped_alpha(d2 / jnp.square(scale_i), scale_i, w,
+                             gamma, b)
+    alpha_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
+                             gamma, b)
+    f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_e) \
+        * jnp.power(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05), m_rev)
+    mutual = w_rev > 0.0
+    c = jnp.where(mutual, 0.5, 1.0)
+    net = c * (1.0 - f_pair)                         # (n, k)
+    return jnp.sum((yj - yi) * net[:, :, None], axis=1)
+
+
 def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
                      b: float, ids_pool, n_neg: int):
     """Negative-sample repulsion for all nodes from the permuted pool.
@@ -151,11 +178,13 @@ def reverse_edge_weights(indices, w):
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
-                                             "nb_grad_batch", "n_groups"))
+                                             "nb_grad_batch", "n_groups",
+                                             "scatter_free"))
 def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    emb_scale, key,
                    grad_step_init: float, b: float, n_sub: int,
-                   n_neg: int, nb_grad_batch: int, n_groups: int = 1):
+                   n_neg: int, nb_grad_batch: int, n_groups: int = 1,
+                   scatter_free: bool = True):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -188,6 +217,11 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         gd = groups[c]
 
         def branch(y, gamma):
+            if scatter_free:
+                d_self = _attraction_sweep_scatter_free(
+                    y, gd["idx"], gd["w"], gd["m"], gd["w_rev"],
+                    gd["m_rev"], emb_scale, gamma, b)
+                return y + d_self
             d_self, d_rev = _attraction_sweep(
                 y, gd["idx"], gd["w"], gd["m"], gd["w_rev"], gd["m_rev"],
                 emb_scale, gamma, b)
@@ -232,7 +266,7 @@ def _auto_groups(k: int) -> int:
 
 def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                            params: EmbedderParams,
-                           n_sub: int = 10,
+                           n_sub: int = 30,
                            n_groups: int = 0) -> Tuple[jnp.ndarray, dict]:
     """Driver with the reference's parameter semantics."""
     n, k = g.indices.shape
@@ -254,7 +288,8 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                        grad_step_init=float(params.grad_step),
                        b=float(params.b), n_sub=n_sub, n_neg=n_neg,
                        nb_grad_batch=int(params.nb_grad_batch),
-                       n_groups=n_groups)
+                       n_groups=n_groups,
+                       scatter_free=params.dense_scatter_free)
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
             "n_groups": n_groups,
             "sweeps": int(params.nb_grad_batch) * n_sub}

@@ -81,6 +81,10 @@ class EmbedderParams:
     #: (TPU-native, ~10-50x faster); "sampling": per-sample batched
     #: updates exactly mirroring the reference's Hogwild step.
     optimizer: str = "dense"
+    #: scatter-free attraction in the dense optimizer (each row moves
+    #: only its own endpoint; mutual pairs split the move between their
+    #: two rows) — removes the reverse segment-sum per sweep.
+    dense_scatter_free: bool = True
     #: sub-sweeps per gradient batch for the dense optimizer; 30 gives
     #: sync granularity that empirically matches the per-sample
     #: optimizer's embedding quality (column grouping keeps the cost of
