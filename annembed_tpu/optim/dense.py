@@ -157,6 +157,33 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
     return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
 
 
+def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
+                            b: float, n_neg: int):
+    """Identity-pool repulsion: node at position i takes positions
+    (i*n_neg + t + offset) mod n of the CURRENT y as negatives — a pure
+    roll/reshape, zero gathers.  Valid because the caller relabels all
+    nodes by one global random permutation at build time, so positions
+    are uniformly random with respect to the data."""
+    n, d = y.shape
+    total = n * n_neg
+    pos = (jnp.arange(total) + offset * n_neg) % n
+    neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
+    yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
+
+    reject = (neg_ids == jnp.arange(n, dtype=jnp.int32)[:, None])
+    reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
+
+    yi = y[:, None, :]
+    scale = emb_scale[:, None]
+    d2s = jnp.sum(jnp.square(yi - yk), -1) / jnp.square(scale)
+    coeff = _common_coeff(d2s, scale, b)
+    rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+    coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+    coeff_ik = jnp.where((d2s > 0.0) & jnp.logical_not(reject),
+                         coeff_ik, 0.0)
+    return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
+
+
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
     """Reverse-edge weight and column: for edge l of node i with
     j = indices[i, l], w_rev[i, l] = w[j -> i] (0 if j does not list i)
@@ -244,12 +271,9 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                                   / nb_grad_batch)
         y = jax.lax.switch(step_idx % n_groups, branches, y, gamma)
 
-        k_perm, k_off = jax.random.split(kk)
-        perm = jax.random.permutation(k_perm, n)
-        y_pool = y[perm]
-        offset = jax.random.randint(k_off, (), 0, n)
-        d_neg = _repulsion_sweep(y, y_pool, offset, indices, emb_scale,
-                                 gamma, b, perm, n_neg)
+        offset = jax.random.randint(kk, (), 0, n)
+        d_neg = _repulsion_sweep_rolled(y, offset, indices, emb_scale,
+                                        gamma, b, n_neg)
         return y + d_neg, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
@@ -268,28 +292,40 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                            params: EmbedderParams,
                            n_sub: int = 30,
                            n_groups: int = 0) -> Tuple[jnp.ndarray, dict]:
-    """Driver with the reference's parameter semantics."""
+    """Driver with the reference's parameter semantics.
+
+    Nodes are relabeled by one global random permutation so the rolled
+    identity-pool negative sampler sees uniformly random negatives even
+    if the input rows are ordered (e.g. sorted by class); the output is
+    returned in the original order."""
     n, k = g.indices.shape
     if n_groups <= 0:
         n_groups = _auto_groups(k)
-    w = npar.probas.astype(jnp.float32)
-    emb_scale = embedded_scales_from_initial(npar.scale)
+    key = jax.random.PRNGKey(params.seed)
+    key, k_relabel = jax.random.split(key)
+    relabel = jax.random.permutation(k_relabel, n)   # position -> old id
+    inv = jnp.argsort(relabel)                       # old id -> position
+    indices_r = inv[g.indices[relabel]].astype(jnp.int32)
+    w = npar.probas.astype(jnp.float32)[relabel]
+    emb_scale = embedded_scales_from_initial(npar.scale)[relabel]
+    y0_r = jnp.asarray(y0, jnp.float32)[relabel]
+
     # expected samples of edge e per *visit* (a group is visited every
     # n_groups-th sweep, n_sub / n_groups visits per batch)
     m_visit = params.nb_sampling_by_edge * k * w * n_groups / n_sub
-    w_rev, rev_col = reverse_edge_info(g.indices, w)
+    w_rev, rev_col = reverse_edge_info(indices_r, w)
     m_rev_visit = params.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
                          / n_sub))
-    key = jax.random.PRNGKey(params.seed)
-    y = dense_optimize(y0.astype(jnp.float32), g.indices, w, m_visit,
-                       w_rev, m_rev_visit, rev_col, emb_scale, key,
-                       grad_step_init=float(params.grad_step),
-                       b=float(params.b), n_sub=n_sub, n_neg=n_neg,
-                       nb_grad_batch=int(params.nb_grad_batch),
-                       n_groups=n_groups,
-                       scatter_free=params.dense_scatter_free)
+    y_r = dense_optimize(y0_r, indices_r, w, m_visit,
+                         w_rev, m_rev_visit, rev_col, emb_scale, key,
+                         grad_step_init=float(params.grad_step),
+                         b=float(params.b), n_sub=n_sub, n_neg=n_neg,
+                         nb_grad_batch=int(params.nb_grad_batch),
+                         n_groups=n_groups,
+                         scatter_free=params.dense_scatter_free)
+    y = y_r[inv]
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
             "n_groups": n_groups,
             "sweeps": int(params.nb_grad_batch) * n_sub}

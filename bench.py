@@ -56,7 +56,7 @@ def run_once(x, verbose=True):
     from annembed_tpu.knn.brute import knn_graph_brute
     from annembed_tpu.graph.kgraph import KGraph
     from annembed_tpu.graph.proba import to_proba_edges
-    from annembed_tpu.optim.ce import build_edge_set, run_entropy_optimization
+    from annembed_tpu.optim.dense import run_dense_optimization
     from annembed_tpu.optim.embedder import set_data_box
     from annembed_tpu.spectral.diffmaps import DiffusionMaps
     from annembed_tpu.params import EmbedderParams, DiffusionParams
@@ -78,14 +78,13 @@ def run_once(x, verbose=True):
 
     t0 = time.perf_counter()
     npar = to_proba_edges(g)
-    es = build_edge_set(g, npar)
-    es.edge_cdf.block_until_ready()
+    npar.probas.block_until_ready()
     t["proba"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
-                            batch_size=16384)
-    y, info = run_entropy_optimization(init, es, params, compute_ce=False)
+    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH)
+    y, info = run_dense_optimization(init, g, npar, params,
+                                     n_sub=params.n_sub)
     y.block_until_ready()
     t["optimize"] = time.perf_counter() - t0
     t["total"] = sum(t.values())
