@@ -110,3 +110,32 @@ def test_ce_value_dense_matches_flat(rng):
     a = float(ce_value(y, es, b=1.0))
     b_ = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
     np.testing.assert_allclose(a, b_, rtol=1e-4)
+
+
+def test_dense_with_class_sorted_input(rng):
+    """Input rows sorted by cluster: the one-time relabeling must keep
+    the rolled identity-pool negatives uniform (without it, a node's
+    negatives would all be same-cluster neighbours)."""
+    centers = rng.normal(size=(3, 8)) * 10
+    # deliberately sorted by class
+    x = np.concatenate([centers[i] + rng.normal(size=(100, 8))
+                        for i in range(3)]).astype(np.float32)
+    labels = np.repeat(np.arange(3), 100)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (300, 2)).astype(np.float32))
+    y, _ = run_dense_optimization(y0, g, npar,
+                                  EmbedderParams(nb_grad_batch=10,
+                                                 optimizer="dense"))
+    y = np.asarray(y)
+    assert np.isfinite(y).all()
+    mus = np.stack([y[labels == i].mean(0) for i in range(3)])
+    d_to = np.linalg.norm(y[:, None] - mus[None], axis=-1)
+    acc = (d_to.argmin(1) == labels).mean()
+    assert acc > 0.9, acc
+    # clusters must not collapse onto each other
+    inter = min(np.linalg.norm(mus[i] - mus[j])
+                for i in range(3) for j in range(i + 1, 3))
+    intra = max(y[labels == i].std() for i in range(3))
+    assert inter > intra
