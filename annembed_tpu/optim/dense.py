@@ -290,7 +290,7 @@ def _auto_groups(k: int) -> int:
 
 def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                            params: EmbedderParams,
-                           n_sub: int = 30,
+                           n_sub: int = 60,
                            n_groups: int = 0) -> Tuple[jnp.ndarray, dict]:
     """Driver with the reference's parameter semantics.
 

@@ -85,11 +85,12 @@ class EmbedderParams:
     #: only its own endpoint; mutual pairs split the move between their
     #: two rows) — removes the reverse segment-sum per sweep.
     dense_scatter_free: bool = True
-    #: sub-sweeps per gradient batch for the dense optimizer; 30 gives
-    #: sync granularity that empirically matches the per-sample
-    #: optimizer's embedding quality (column grouping keeps the cost of
-    #: the extra sweeps low).
-    n_sub: int = 30
+    #: sub-sweeps per gradient batch for the dense optimizer; 60 gives
+    #: sync + multiplicity granularity that empirically *beats* the
+    #: per-sample optimizer's embedding quality on the bench workload
+    #: (see tests + /tmp/dense_tune*.log studies); raise (e.g. 120) for
+    #: even finer granularity at proportional cost.
+    n_sub: int = 60
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))
