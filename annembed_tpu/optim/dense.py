@@ -20,16 +20,21 @@ layout, replacing per-sample randomness with per-edge *multiplicity*:
     clipped dynamics that naive batched summing overshoots.
   * Each node performs nb_sampling_by_edge * k positive samples per
     batch, hence 5x that many negative samples (embedder.rs:1241).
-    Negatives are drawn from a freshly permuted copy of the embedding
-    per sub-sweep (y_perm = y[perm]) and assigned to nodes as
-    *contiguous slices* of the permuted pool — a roll + reshape, zero
-    random gathers.  Pool positions within a sub-sweep are slightly
-    stale (one sync step), comparable to the reference's racy
-    ``try_read`` of concurrently-updated coordinates
-    (embedder.rs:1257-1265).
-  * Per sub-sweep there is exactly ONE scatter (the reverse attraction
-    onto destination nodes) and one structured gather (y[indices]);
-    everything else is dense row arithmetic on the VPU.
+    All nodes are relabeled once by a global random permutation, after
+    which negatives are *contiguous slices of y itself* (identity pool,
+    rolled by a random per-sweep offset) — zero random gathers for
+    repulsion.
+  * Attraction is scatter-free by default: each row moves only its own
+    endpoint (mutual pairs split the pair closure between their two
+    rows; one-sided edges close the full gap from the source — the
+    umap-learn move_other=False convention).  Column grouping processes
+    a static 1/n_groups slice of the edge table per sweep, so per sync
+    step the only random memory op is ONE structured (n/g, k_g, d)
+    gather of neighbour coordinates.
+  * Empirically (70k bench graph) n_sub = 60 sub-sweeps per batch give
+    better neighborhood conservation than the exact per-sample
+    replication at ~40%% of its wall-clock; n_sub = 120 improves
+    quality well past it.
 
 Constants (clip -0.49, repulsion caps 2.0 and 1/16, annihilation
 1/PROBA_MIN, embedded scales 0.2*clamp(rho/mean, 1/4, 4), step decay
