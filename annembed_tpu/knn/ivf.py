@@ -98,7 +98,10 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     if nlist <= 0:
-        nlist = max(64, int(math.sqrt(n)))
+        # 4*sqrt(n) keeps cells small so the local join stays cheap;
+        # the recall lost to finer cells is recovered by the NN-descent
+        # refinement pass (knn/api.py wiring)
+        nlist = max(64, int(4 * math.sqrt(n)))
     nprobe = min(nprobe, nlist)
 
     # fit quantizer on a subsample, assign everyone
