@@ -75,10 +75,24 @@ def build_projection(x, knbn: int, sample_fraction: float = 0.05,
     small = build_kgraph(xs, knbn, distance=distance, params=params)
     large = build_kgraph(x, knbn, distance=distance, params=params)
 
-    # top-1 of every point against the sample set
-    idx1, dist1 = knn_search_brute(x, xs, k=1, distance=distance)
-    proj_small_idx = idx1[:, 0]
-    proj_dist = dist1[:, 0]
+    # top-1 of every point against the sample set; on TPU the fused
+    # pallas kernel streams corpus tiles without materializing the
+    # (n, m) panel in HBM (ops/top1.py)
+    proj_small_idx = proj_dist = None
+    if distance == "DistL2":
+        try:
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                from ..ops.top1 import top1_l2
+                proj_small_idx, proj_dist = top1_l2(x, xs)
+        except Exception as exc:  # pragma: no cover - backend dependent
+            logger.warning("pallas top1 unavailable (%s); XLA fallback",
+                           exc)
+            proj_small_idx = None
+    if proj_small_idx is None:
+        idx1, dist1 = knn_search_brute(x, xs, k=1, distance=distance)
+        proj_small_idx = idx1[:, 0]
+        proj_dist = dist1[:, 0]
     # sampled points project to themselves at distance 0
     in_sample_pos = jnp.zeros((n,), jnp.int32).at[sample_ids].set(
         jnp.arange(m, dtype=jnp.int32))

@@ -6,6 +6,12 @@ conserved 5.07/6, median ratio 0.746 at dim 2)."""
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 import time
