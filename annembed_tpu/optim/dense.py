@@ -163,17 +163,26 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
 
 
 def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
-                            b: float, n_neg: int):
+                            b: float, n_neg: int, pool_ids=None):
     """Identity-pool repulsion: node at position i takes positions
     (i*n_neg + t + offset) mod n of the CURRENT y as negatives — a pure
     roll/reshape, zero gathers.  Valid because the caller relabels all
     nodes by one global random permutation at build time, so positions
-    are uniformly random with respect to the data."""
+    are uniformly random with respect to the data.
+
+    With ``pool_ids`` (hubness-weighted sampling, embedder.rs:810-837),
+    the pool is y[pool_ids] — one n-row gather per sweep — and negative
+    identities follow pool_ids."""
     n, d = y.shape
     total = n * n_neg
     pos = (jnp.arange(total) + offset * n_neg) % n
-    neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
-    yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
+    if pool_ids is None:
+        neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
+        yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
+    else:
+        pool_vals = y[pool_ids]           # (n, d) weighted pool
+        neg_ids = pool_ids[pos].reshape(n, n_neg).astype(jnp.int32)
+        yk = pool_vals[pos].reshape(n, n_neg, d)
 
     reject = (neg_ids == jnp.arange(n, dtype=jnp.int32)[:, None])
     reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
@@ -213,7 +222,7 @@ def reverse_edge_weights(indices, w):
                                              "nb_grad_batch", "n_groups",
                                              "scatter_free"))
 def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
-                   emb_scale, key,
+                   emb_scale, key, pool_ids,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True):
@@ -278,7 +287,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
 
         offset = jax.random.randint(kk, (), 0, n)
         d_neg = _repulsion_sweep_rolled(y, offset, indices, emb_scale,
-                                        gamma, b, n_neg)
+                                        gamma, b, n_neg,
+                                        pool_ids=pool_ids)
         return y + d_neg, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
@@ -296,7 +306,8 @@ def _auto_groups(k: int) -> int:
 def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                            params: EmbedderParams,
                            n_sub: int = 60,
-                           n_groups: int = 0) -> Tuple[jnp.ndarray, dict]:
+                           n_groups: int = 0,
+                           neg_weights=None) -> Tuple[jnp.ndarray, dict]:
     """Driver with the reference's parameter semantics.
 
     Nodes are relabeled by one global random permutation so the rolled
@@ -323,8 +334,18 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
                          / n_sub))
+    # hubness-weighted negative pool (embedder.rs:810-837): one weighted
+    # sample of n node positions; sweeps roll through it
+    pool_ids = None
+    if neg_weights is not None:
+        from ..utils.alias import build_alias_table, alias_sample
+        key, k_pool = jax.random.split(key)
+        prob, alias = build_alias_table(
+            jnp.asarray(neg_weights, jnp.float32)[relabel])
+        pool_ids = alias_sample(k_pool, prob, alias, (n,)).astype(jnp.int32)
     y_r = dense_optimize(y0_r, indices_r, w, m_visit,
                          w_rev, m_rev_visit, rev_col, emb_scale, key,
+                         pool_ids,
                          grad_step_init=float(params.grad_step),
                          b=float(params.b), n_sub=n_sub, n_neg=n_neg,
                          nb_grad_batch=int(params.nb_grad_batch),

@@ -155,20 +155,20 @@ class Embedder:
                           init: jnp.ndarray) -> jnp.ndarray:
         p = self.params
         t0 = time.perf_counter()
-        if p.optimizer == "dense" and not p.hubness_weighting:
+        if p.optimizer == "dense":
             from .dense import run_dense_optimization
             from .ce import ce_value_dense
+            hub = (hubness_sampling_weights(g) if p.hubness_weighting
+                   else None)
             info = {"initial_ce": float(ce_value_dense(
                 init, g, npar.probas, npar.scale, p.b))}
             y, dinfo = run_dense_optimization(init, g, npar, p,
-                                              n_sub=p.n_sub)
+                                              n_sub=p.n_sub,
+                                              neg_weights=hub)
             info.update(dinfo)
             info["final_ce"] = float(ce_value_dense(
                 y, g, npar.probas, npar.scale, p.b))
         else:
-            # hubness-weighted negative sampling needs the per-sample
-            # path (weighted negatives are incompatible with the
-            # contiguous-pool trick)
             hub = (hubness_sampling_weights(g) if p.hubness_weighting
                    else None)
             es = build_edge_set(g, npar, hubness_weights=hub)
