@@ -253,27 +253,61 @@ def minibatch_update(y: jnp.ndarray, key: jax.Array, es: EdgeSet,
 @functools.partial(jax.jit,
                    static_argnames=("b", "batch_size", "steps_per_batch",
                                     "nb_grad_batch", "collision_mode"))
+def _optimize_segment(y0: jnp.ndarray, es: EdgeSet, keys: jnp.ndarray,
+                      step0: jnp.ndarray, grad_step_init: float, b: float,
+                      batch_size: int, steps_per_batch: int,
+                      nb_grad_batch: int,
+                      collision_mode: str = "sum") -> jnp.ndarray:
+    """One bounded scan segment (steps [step0, step0 + len(keys)))."""
+
+    def body(y, args):
+        local_idx, k = args
+        step_idx = step0 + local_idx
+        batch_idx = step_idx // steps_per_batch + 1
+        # clamp at 0: segment padding steps past the schedule must be
+        # no-ops, not negative-step (sign-flipped) updates
+        gamma = jnp.maximum(
+            grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                              / nb_grad_batch), 0.0)
+        y = minibatch_update(y, k, es, gamma, b, batch_size,
+                             collision_mode=collision_mode)
+        return y, None
+
+    y, _ = jax.lax.scan(body, y0,
+                        (jnp.arange(keys.shape[0], dtype=jnp.int32), keys))
+    return y
+
+
+#: One device program is capped at this many sequential steps: very long
+#: scans (observed at ~8e4 steps) can trip the TPU runtime watchdog and
+#: crash the worker.
+MAX_STEPS_PER_PROGRAM = 8192
+
+
 def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
              grad_step_init: float, b: float, batch_size: int,
              steps_per_batch: int, nb_grad_batch: int,
              collision_mode: str = "sum") -> jnp.ndarray:
     """Full optimization: nb_grad_batch outer batches, linear step decay
     gamma_0 * (1 - iter/nb_batch) (embedder.rs:873-879), each batch made
-    of steps_per_batch synchronous mini-batches."""
+    of steps_per_batch synchronous mini-batches.  Split into bounded
+    scan segments (one compile, several dispatches)."""
     total_steps = steps_per_batch * nb_grad_batch
-    keys = jax.random.split(key, total_steps)
-
-    def body(y, args):
-        step_idx, k = args
-        batch_idx = step_idx // steps_per_batch + 1
-        gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
-                                  / nb_grad_batch)
-        y = minibatch_update(y, k, es, gamma, b, batch_size,
-                             collision_mode=collision_mode)
-        return y, None
-
-    y, _ = jax.lax.scan(body, y0,
-                        (jnp.arange(total_steps, dtype=jnp.int32), keys))
+    seg = min(total_steps, MAX_STEPS_PER_PROGRAM)
+    n_segs = -(-total_steps // seg)
+    keys = jax.random.split(key, n_segs * seg)
+    fn = jax.jit(_optimize_segment,
+                 static_argnames=("grad_step_init", "b", "batch_size",
+                                  "steps_per_batch", "nb_grad_batch",
+                                  "collision_mode"))
+    y = y0
+    for s in range(n_segs):
+        # trailing segment steps beyond total run with gamma <= 0 and
+        # are harmless; keep shapes static instead of slicing ragged
+        y = fn(y, es, keys[s * seg:(s + 1) * seg],
+               jnp.int32(s * seg), grad_step_init=grad_step_init, b=b,
+               batch_size=batch_size, steps_per_batch=steps_per_batch,
+               nb_grad_batch=nb_grad_batch, collision_mode=collision_mode)
     return y
 
 
