@@ -220,12 +220,14 @@ def reverse_edge_weights(indices, w):
 
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
                                              "nb_grad_batch", "n_groups",
-                                             "scatter_free"))
-def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
+                                             "scatter_free",
+                                             "seg_steps"))
+def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    emb_scale, key, pool_ids,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
-                   scatter_free: bool = True):
+                   scatter_free: bool = True, step0=0,
+                   seg_steps: int = 0):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -275,14 +277,15 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         return branch
 
     branches = [make_branch(c) for c in range(n_groups)]
-    total_steps = nb_grad_batch * n_sub
-    keys = jax.random.split(key, total_steps)
+    keys = jax.random.split(key, seg_steps)
 
     def body(y, args):
-        step_idx, kk = args
+        local_idx, kk = args
+        step_idx = step0 + local_idx
         batch_idx = step_idx // n_sub + 1
-        gamma = grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
-                                  / nb_grad_batch)
+        gamma = jnp.maximum(
+            grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                              / nb_grad_batch), 0.0)
         y = jax.lax.switch(step_idx % n_groups, branches, y, gamma)
 
         offset = jax.random.randint(kk, (), 0, n)
@@ -292,7 +295,37 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         return y + d_neg, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
-                        (jnp.arange(total_steps, dtype=jnp.int32), keys))
+                        (jnp.arange(seg_steps, dtype=jnp.int32), keys))
+    return y
+
+
+#: bound sequential steps per device program (TPU watchdog, see
+#: optim/ce.py MAX_STEPS_PER_PROGRAM)
+_MAX_SWEEPS_PER_PROGRAM = 8192
+
+
+def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
+                   emb_scale, key, pool_ids,
+                   grad_step_init: float, b: float, n_sub: int,
+                   n_neg: int, nb_grad_batch: int, n_groups: int = 1,
+                   scatter_free: bool = True):
+    total_steps = nb_grad_batch * n_sub
+    seg = min(total_steps, _MAX_SWEEPS_PER_PROGRAM)
+    # keep segments multiples of n_groups so the group rotation stays
+    # aligned with the compiled switch order
+    seg -= seg % n_groups or 0
+    seg = max(seg, n_groups)
+    n_segs = -(-total_steps // seg)
+    y = y0
+    keys = jax.random.split(key, n_segs)
+    for si in range(n_segs):
+        y = _dense_segment(y, indices, w, m_visit, w_rev, m_rev_visit,
+                           rev_col, emb_scale, keys[si], pool_ids,
+                           grad_step_init=grad_step_init, b=b,
+                           n_sub=n_sub, n_neg=n_neg,
+                           nb_grad_batch=nb_grad_batch,
+                           n_groups=n_groups, scatter_free=scatter_free,
+                           step0=jnp.int32(si * seg), seg_steps=seg)
     return y
 
 
