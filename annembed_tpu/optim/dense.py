@@ -43,7 +43,6 @@ gamma_0 (1 - iter/nb_batch)) are identical to the reference.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import logging
 from typing import Tuple

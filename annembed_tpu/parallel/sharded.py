@@ -20,7 +20,6 @@ All collectives are inserted by XLA from ``shard_map`` annotations.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
