@@ -216,3 +216,18 @@ def test_projection_ripser_dump(tmp_path, rng):
     assert quants["q0.5"] >= 0
     n_lines = len(open(p).read().strip().split("\n"))
     assert n_lines == 2 * 5 * round(300 * 0.2)
+
+
+def test_phase_timer():
+    import time as _t
+    from annembed_tpu.utils.profiling import PhaseTimer, device_trace
+    pt = PhaseTimer()
+    with pt.phase("a") as out:
+        _t.sleep(0.01)
+        out.append(jnp.ones((4,)))
+    with pt.phase("b"):
+        pass
+    s = pt.summary()
+    assert s["a"] >= 0.01 and "b" in s and s["total"] >= s["a"]
+    with device_trace(None):
+        pass  # no-op path
