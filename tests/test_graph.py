@@ -123,3 +123,14 @@ def test_stats_and_indegree(rng):
     assert stats["min_radius_q0.5"] > 0
     tele = proba_telemetry(to_proba_edges(g))
     assert tele["perplexity_q0.5"] > 1.0
+
+
+def test_proba_edges_beta_half(rng):
+    """beta=0.5 path (reference allows 0.5 or 1, embedparams.rs:47)."""
+    g = make_graph(rng, n=150, k=6)
+    npar = to_proba_edges(g, scale_rho=1.0, beta=0.5)
+    s = np.asarray(npar.probas.sum(axis=1))
+    np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+    # steeper beta flattens less: perplexity differs from beta=1
+    p1 = to_proba_edges(g, scale_rho=1.0, beta=1.0)
+    assert not np.allclose(np.asarray(npar.probas), np.asarray(p1.probas))

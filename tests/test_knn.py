@@ -96,3 +96,17 @@ def test_probability_distances(rng):
     # JS distance of identical distributions is ~0
     js_same = np.asarray(D.jensenshannon_panel(jnp.asarray(p), jnp.asarray(p)))
     assert np.abs(np.diagonal(js_same)).max() < 1e-3
+
+
+def test_build_kgraph_probability_metric(rng):
+    """End-to-end graph build with a probability metric (the reference
+    CLI supports DistJensenShannon, bin/embed.rs:546-565)."""
+    from annembed_tpu.knn.api import build_kgraph
+    p = rng.random(size=(120, 12)).astype(np.float32)
+    p /= p.sum(1, keepdims=True)
+    g = build_kgraph(p, 5, distance="DistJensenShannon")
+    assert g.indices.shape == (120, 5)
+    d = np.asarray(g.dists)
+    assert (d >= 0).all() and (np.diff(d, axis=1) >= -1e-6).all()
+    rows = np.arange(120)[:, None]
+    assert not (np.asarray(g.indices) == rows).any()
