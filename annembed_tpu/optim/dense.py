@@ -121,8 +121,11 @@ def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
                              gamma, b)
     alpha_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
                              gamma, b)
-    f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_e) \
-        * jnp.power(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05), m_rev)
+    # exp(m log c1 + m_rev log c2): one exp + two logs instead of two
+    # pow (= two exp + two log) — the sweep is VPU-bound
+    f_pair = jnp.exp(
+        m_e * jnp.log(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05))
+        + m_rev * jnp.log(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05)))
     mutual = w_rev > 0.0
     c = jnp.where(mutual, 0.5, 1.0)
     net = c * (1.0 - f_pair)                         # (n, k)
