@@ -87,7 +87,7 @@ def _ivf_join(x_pad, table, cell_nbrs, k: int, nprobe: int,
 
 
 def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
-                  nprobe: int = 16, dtype: str = "float32",
+                  nprobe: int = 32, dtype: str = "float32",
                   kmeans_iter: int = 10, seed: int = 0,
                   sample_size: int = 500_000):
     """Approximate kNN graph via IVF local join.  Returns (idx, dist)."""

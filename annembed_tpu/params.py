@@ -211,8 +211,10 @@ class KnnParams:
     #: IVF: number of coarse centroids (0 = auto ~ sqrt(n)).
     nlist: int = 0
     #: IVF: number of closest centroid cells probed per query.
-    nprobe: int = 16
+    #: (measured at 2M x 28: nprobe=32 + 3 NN-descent rounds gives
+    #: recall@6 ~0.92 in ~50 s total; see PERF.md)
+    nprobe: int = 32
     #: Matmul dtype for distance panels ("float32" or "bfloat16").
     dtype: str = "float32"
     #: NN-descent refinement rounds applied after IVF (0 = none).
-    refine_rounds: int = 1
+    refine_rounds: int = 3
