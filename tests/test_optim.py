@@ -151,3 +151,21 @@ def test_h_embed(rng):
     d_to = np.linalg.norm(y[:, None] - mus[None], axis=-1)
     acc = (d_to.argmin(1) == labels).mean()
     assert acc > 0.85, f"cluster accuracy {acc}"
+
+
+def test_optimize_segmenting_matches_single_scan(rng, monkeypatch):
+    """Splitting the scan into bounded segments must not change the
+    result (same keys, same schedule; padding steps are gamma=0)."""
+    from annembed_tpu.optim import ce as C
+    _, _, g, npar, es = make_setup(rng, n_per=40, k=5)
+    y0 = jnp.asarray(rng.uniform(-3, 3, (120, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    y_full = C.optimize(y0, es, key, 1.0, 1.0, batch_size=256,
+                        steps_per_batch=7, nb_grad_batch=4)
+    monkeypatch.setattr(C, "MAX_STEPS_PER_PROGRAM", 5)
+    y_seg = C.optimize(y0, es, key, 1.0, 1.0, batch_size=256,
+                       steps_per_batch=7, nb_grad_batch=4)
+    # same total update magnitude and finiteness; keys are split
+    # identically so results should agree exactly
+    np.testing.assert_allclose(np.asarray(y_seg), np.asarray(y_full),
+                               atol=1e-5)
