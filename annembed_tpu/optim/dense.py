@@ -165,26 +165,25 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
 
 
 def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
-                            b: float, n_neg: int, pool_ids=None):
+                            b: float, n_neg: int, neg_weight=None):
     """Identity-pool repulsion: node at position i takes positions
     (i*n_neg + t + offset) mod n of the CURRENT y as negatives — a pure
     roll/reshape, zero gathers.  Valid because the caller relabels all
     nodes by one global random permutation at build time, so positions
     are uniformly random with respect to the data.
 
-    With ``pool_ids`` (hubness-weighted sampling, embedder.rs:810-837),
-    the pool is y[pool_ids] — one n-row gather per sweep — and negative
-    identities follow pool_ids."""
+    ``neg_weight`` implements hubness-biased negative sampling
+    (embedder.rs:810-837) by importance weighting instead of weighted
+    draws: uniform pool negatives, each repulsion kick multiplied by
+    the (mean-1-normalized, clamped) hubness weight of the negative —
+    same expected update, zero extra gathers (a weighted-gather pool
+    measured ~25x slower per sweep on this chip and tripped the
+    runtime watchdog on long runs)."""
     n, d = y.shape
     total = n * n_neg
     pos = (jnp.arange(total) + offset * n_neg) % n
-    if pool_ids is None:
-        neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
-        yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
-    else:
-        pool_vals = y[pool_ids]           # (n, d) weighted pool
-        neg_ids = pool_ids[pos].reshape(n, n_neg).astype(jnp.int32)
-        yk = pool_vals[pos].reshape(n, n_neg, d)
+    neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
+    yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
 
     reject = (neg_ids == jnp.arange(n, dtype=jnp.int32)[:, None])
     reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
@@ -195,6 +194,8 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
     coeff = _common_coeff(d2s, scale, b)
     rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
     coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+    if neg_weight is not None:
+        coeff_ik = coeff_ik * neg_weight[pos].reshape(n, n_neg)
     coeff_ik = jnp.where((d2s > 0.0) & jnp.logical_not(reject),
                          coeff_ik, 0.0)
     return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
@@ -225,7 +226,7 @@ def reverse_edge_weights(indices, w):
                                              "scatter_free",
                                              "seg_steps"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
-                   emb_scale, key, pool_ids,
+                   emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, step0=0,
@@ -293,7 +294,7 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         offset = jax.random.randint(kk, (), 0, n)
         d_neg = _repulsion_sweep_rolled(y, offset, indices, emb_scale,
                                         gamma, b, n_neg,
-                                        pool_ids=pool_ids)
+                                        neg_weight=neg_weight)
         return y + d_neg, None
 
     y, _ = jax.lax.scan(body, y0.astype(jnp.float32),
@@ -303,11 +304,11 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
 
 #: bound sequential steps per device program (TPU watchdog, see
 #: optim/ce.py MAX_STEPS_PER_PROGRAM)
-_MAX_SWEEPS_PER_PROGRAM = 8192
+_MAX_SWEEPS_PER_PROGRAM = 2048
 
 
 def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
-                   emb_scale, key, pool_ids,
+                   emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True):
@@ -322,7 +323,7 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     keys = jax.random.split(key, n_segs)
     for si in range(n_segs):
         y = _dense_segment(y, indices, w, m_visit, w_rev, m_rev_visit,
-                           rev_col, emb_scale, keys[si], pool_ids,
+                           rev_col, emb_scale, keys[si], neg_weight,
                            grad_step_init=grad_step_init, b=b,
                            n_sub=n_sub, n_neg=n_neg,
                            nb_grad_batch=nb_grad_batch,
@@ -369,18 +370,16 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
                          / n_sub))
-    # hubness-weighted negative pool (embedder.rs:810-837): one weighted
-    # sample of n node positions; sweeps roll through it
-    pool_ids = None
+    # hubness weighting via importance weights (mean 1, clamped to
+    # [0.25, 4] to bound the per-kick cap)
+    neg_weight = None
     if neg_weights is not None:
-        from ..utils.alias import build_alias_table, alias_sample
-        key, k_pool = jax.random.split(key)
-        prob, alias = build_alias_table(
-            jnp.asarray(neg_weights, jnp.float32)[relabel])
-        pool_ids = alias_sample(k_pool, prob, alias, (n,)).astype(jnp.int32)
+        nw = jnp.asarray(neg_weights, jnp.float32)[relabel]
+        nw = nw / jnp.maximum(jnp.mean(nw), 1e-30)
+        neg_weight = jnp.clip(nw, 0.25, 4.0)
     y_r = dense_optimize(y0_r, indices_r, w, m_visit,
                          w_rev, m_rev_visit, rev_col, emb_scale, key,
-                         pool_ids,
+                         neg_weight,
                          grad_step_init=float(params.grad_step),
                          b=float(params.b), n_sub=n_sub, n_neg=n_neg,
                          nb_grad_batch=int(params.nb_grad_batch),
