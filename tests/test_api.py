@@ -78,3 +78,22 @@ def test_cli_embed(tmp_path, rng):
     info = json.loads(res.stdout.strip().split("\n")[-1])
     assert info["n"] == 120
     assert out.exists()
+
+
+def test_cli_dmapembed(tmp_path, rng):
+    x = blobs(rng, n_per=40)
+    p = tmp_path / "in.csv"
+    np.savetxt(p, x, delimiter=",")
+    out = tmp_path / "o.csv"
+    res = subprocess.run(
+        [sys.executable, "-m", "annembed_tpu.cli", "dmapembed",
+         "--csv", str(p), "--outfile", str(out), "--nbng", "8",
+         "--alfa", "0.5", "--beta", "-0.1", "--dim", "3"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/repo:/root/.axon_site",
+             "HOME": "/root"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().split("\n")[-1])
+    assert info["n"] == 120 and info["dim"] == 3
+    assert out.exists()
