@@ -110,3 +110,16 @@ def test_build_kgraph_probability_metric(rng):
     assert (d >= 0).all() and (np.diff(d, axis=1) >= -1e-6).all()
     rows = np.arange(120)[:, None]
     assert not (np.asarray(g.indices) == rows).any()
+
+
+def test_bfloat16_panel_with_rerank(rng):
+    """bf16 matmul panels + exact f32 rerank: the graph should agree
+    with full-f32 on nearly every edge (MXU-friendly fast path)."""
+    from annembed_tpu.knn.api import recall_at_k
+    x = rng.normal(size=(500, 32)).astype(np.float32)
+    i32, d32 = knn_graph_brute(x, k=8, dtype="float32")
+    i16, d16 = knn_graph_brute(x, k=8, dtype="bfloat16")
+    rec = recall_at_k(i16, i32)
+    assert rec > 0.97, rec
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=5e-2, atol=5e-2)
