@@ -284,3 +284,31 @@ def shard_edge_set(es: EdgeSet, mesh: Mesh):
             jax.device_put(w, sharding), jax.device_put(cdf, sharding),
             jax.device_put(es.neighbors, rep),
             jax.device_put(es.embedded_scale, rep))
+
+
+def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
+                           nb_grad_batch: int | None = None):
+    """Multi-step data-parallel dense optimization: scan of the sharded
+    dense step with the reference's step decay.  The embedding stays
+    replicated; one psum per sweep rides ICI.
+
+    (Demonstration-scale driver for the dryrun/virtual mesh; the
+    single-chip path in optim/dense.py is the tuned production route
+    while only one real chip is available.)"""
+    from ..optim.ce import NB_NEGATIVE
+
+    p = params
+    nb = nb_grad_batch or p.nb_grad_batch
+    n_sub = max(1, p.n_sub // 6)  # coarser demo schedule
+    n_neg = max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge
+                         * g.nbng / p.n_sub))
+    inputs = shard_dense_inputs(g, npar, p, mesh)
+    step = make_sharded_dense_step(mesh, b=float(p.b), n_neg=n_neg)
+    y = jnp.asarray(y0, jnp.float32)
+    key = jax.random.PRNGKey(p.seed)
+    for b_i in range(1, nb + 1):
+        gamma = jnp.float32(p.grad_step * (1.0 - b_i / nb))
+        for s in range(n_sub):
+            key, kk = jax.random.split(key)
+            y = step(y, kk, *inputs, gamma)
+    return y

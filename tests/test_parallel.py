@@ -89,3 +89,24 @@ def test_sharded_dense_step(rng, mesh):
     y1b = np.asarray(step(y0, jax.random.PRNGKey(0), *inputs,
                           jnp.float32(1.0)))
     np.testing.assert_array_equal(y1, y1b)
+
+
+def test_sharded_dense_optimize_separates(rng, mesh):
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.params import EmbedderParams
+    from annembed_tpu.parallel.sharded import sharded_dense_optimize
+    centers = rng.normal(size=(2, 8)) * 12
+    x = np.concatenate([centers[i] + rng.normal(size=(128, 8))
+                        for i in range(2)]).astype(np.float32)
+    labels = np.repeat(np.arange(2), 128)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
+    y = np.asarray(sharded_dense_optimize(
+        y0, g, npar, EmbedderParams(nb_grad_batch=8), mesh))
+    assert np.isfinite(y).all()
+    mus = np.stack([y[labels == i].mean(0) for i in range(2)])
+    d_to = np.linalg.norm(y[:, None] - mus[None], axis=-1)
+    acc = (d_to.argmin(1) == labels).mean()
+    assert acc > 0.9, acc
