@@ -302,9 +302,20 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     return y
 
 
-#: bound sequential steps per device program (TPU watchdog, see
-#: optim/ce.py MAX_STEPS_PER_PROGRAM)
+#: bound sequential steps per device program.  The axon TPU runtime
+#: kills programs that run continuously for many minutes (observed:
+#: ~4 min at 80k nodes OK, ~19 min segments at 2M nodes crash the
+#: worker), so the cap scales inversely with n to target roughly a
+#: minute of device time per program (sweep cost is ~linear in n).
 _MAX_SWEEPS_PER_PROGRAM = 2048
+_SWEEP_REFERENCE_N = 70_000
+
+
+def _segment_cap(n: int, n_groups: int) -> int:
+    cap = (_MAX_SWEEPS_PER_PROGRAM * _SWEEP_REFERENCE_N
+           // max(n, _SWEEP_REFERENCE_N))
+    cap -= cap % n_groups or 0
+    return max(cap, n_groups)
 
 
 def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
@@ -313,11 +324,9 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True):
     total_steps = nb_grad_batch * n_sub
-    seg = min(total_steps, _MAX_SWEEPS_PER_PROGRAM)
-    # keep segments multiples of n_groups so the group rotation stays
-    # aligned with the compiled switch order
-    seg -= seg % n_groups or 0
-    seg = max(seg, n_groups)
+    # segments stay multiples of n_groups so the group rotation aligns
+    # with the compiled switch order
+    seg = min(total_steps, _segment_cap(y0.shape[0], n_groups))
     n_segs = -(-total_steps // seg)
     y = y0
     keys = jax.random.split(key, n_segs)
