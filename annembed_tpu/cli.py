@@ -12,7 +12,6 @@ import json
 import logging
 import sys
 
-import numpy as np
 
 
 def _common_args(p: argparse.ArgumentParser) -> None:

@@ -25,7 +25,6 @@ import dataclasses
 import logging
 from typing import Callable, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

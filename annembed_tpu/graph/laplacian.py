@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import FULL_SVD_SIZE_LIMIT
-from ..linalg.rsvd import (SvdResult, coo_matmat, full_svd_dense,
-                           randomized_svd_op)
+from ..linalg.rsvd import SvdResult, coo_matmat, full_svd_dense
 from .kgraph import KGraph, symmetric_coo, coo_to_dense
 
 logger = logging.getLogger(__name__)

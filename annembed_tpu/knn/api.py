@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..graph.kgraph import KGraph
 from ..params import KnnParams
-from .brute import knn_graph_brute, knn_search_brute
+from .brute import knn_graph_brute
 
 logger = logging.getLogger(__name__)
 

@@ -13,7 +13,6 @@ reductions (VPU) computed in corpus tiles to bound memory.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

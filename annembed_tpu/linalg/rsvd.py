@@ -20,7 +20,6 @@ svdapprox.rs:366,390).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, NamedTuple, Optional
 

@@ -27,7 +27,7 @@ from ..graph.kgraph import KGraph, in_degree_counts
 from ..graph.proba import NodeParams, to_proba_edges
 from ..spectral.diffmaps import DiffusionMaps
 from ..knn.hierarchy import KGraphProjection
-from .ce import build_edge_set, run_entropy_optimization, ce_value
+from .ce import build_edge_set, run_entropy_optimization
 
 logger = logging.getLogger(__name__)
 

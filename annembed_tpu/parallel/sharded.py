@@ -47,8 +47,6 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 def sharded_knn_graph(x, k: int, mesh: Mesh, block_rows: int = 1024):
     """Row-sharded exact kNN: each device owns a row block of queries
     against the replicated corpus."""
-    from ..knn.brute import _knn_impl
-
     n, d = x.shape
     ndev = mesh.devices.size
     pad = (-n) % ndev

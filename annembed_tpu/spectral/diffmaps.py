@@ -29,9 +29,7 @@ import jax.numpy as jnp
 
 from ..params import DiffusionParams, PROBA_MIN
 from ..graph.kgraph import KGraph, symmetric_coo
-from ..graph.laplacian import GraphLaplacian, laplacian_alfa_weighted, \
-    laplacian_from_probas
-from ..linalg.rsvd import SvdResult
+from ..graph.laplacian import GraphLaplacian, laplacian_from_probas
 
 logger = logging.getLogger(__name__)
 
