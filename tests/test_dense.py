@@ -140,3 +140,19 @@ def test_dense_with_class_sorted_input(rng):
                 for i in range(3) for j in range(i + 1, 3))
     intra = max(y[labels == i].std() for i in range(3))
     assert inter > 0.5 * intra
+
+
+def test_dense_b_not_one(rng):
+    """b != 1 exercises the general Cauchy exponent path of
+    _common_coeff (embedder.rs:1216-1222)."""
+    x = rng.normal(size=(200, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (200, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=5, b=0.5)
+    y, _ = run_dense_optimization(y0, g, npar, p)
+    assert np.isfinite(np.asarray(y)).all()
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 0.5))
+    ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 0.5))
+    assert ce1 < ce0
