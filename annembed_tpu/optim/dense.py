@@ -180,10 +180,16 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
     measured ~25x slower per sweep on this chip and tripped the
     runtime watchdog on long runs)."""
     n, d = y.shape
-    total = n * n_neg
-    pos = (jnp.arange(total) + offset * n_neg) % n
-    neg_ids = pos.reshape(n, n_neg).astype(jnp.int32)
-    yk = y[pos].reshape(n, n_neg, d)  # contiguous roll, not a gather
+    # y[(i*n_neg + t + off) % n] == tile(roll(y, -off), n_neg)[i*n_neg+t]:
+    # roll lowers to two slices + concat and tile to concat — XLA does
+    # NOT recognize a modular index gather as contiguous (measured
+    # ~1 ms per sweep at 70k as a real gather, ~0 as roll+tile)
+    y_rolled = jnp.roll(y, -offset * n_neg, axis=0)
+    yk = jnp.tile(y_rolled, (n_neg, 1)).reshape(n, n_neg, d)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n_neg), 0)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (n, n_neg), 1)
+    neg_ids = (row_i * n_neg + col_t
+               + (offset * n_neg).astype(jnp.int32)) % n
 
     reject = (neg_ids == jnp.arange(n, dtype=jnp.int32)[:, None])
     reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
@@ -195,7 +201,8 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
     rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
     coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
     if neg_weight is not None:
-        coeff_ik = coeff_ik * neg_weight[pos].reshape(n, n_neg)
+        nw_rolled = jnp.roll(neg_weight, -offset * n_neg, axis=0)
+        coeff_ik = coeff_ik * jnp.tile(nw_rolled, n_neg).reshape(n, n_neg)
     coeff_ik = jnp.where((d2s > 0.0) & jnp.logical_not(reject),
                          coeff_ik, 0.0)
     return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
