@@ -59,31 +59,72 @@ def build_member_table(cells: np.ndarray, nlist: int, n: int,
     return table
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name"))
-def _ivf_join(x_pad, table, cell_nbrs, k: int, nprobe: int,
-              dtype_name: str):
-    """For each cell: exact kNN of its points within the probed cells.
+def build_ivf_tables(cells: np.ndarray, nlist: int, n: int,
+                     cap: int):
+    """Query rows + candidate table with bounded shapes.
 
-    x_pad: (n+1, d) with a zero pad row; table: (nlist, C);
-    cell_nbrs: (nlist, nprobe) nearest cells per cell (self first).
-    Returns idx (nlist, C, k), dist (nlist, C, k) aligned with table.
+    Unbalanced quantizers (common for low-d data, e.g. 2-D embedded
+    clouds where one cell can hold ~10%% of the points) make the naive
+    (nlist, max_count) member table explode — the panel for one cell
+    reached 122 GB on a 2M x 2D quality run.  Instead:
+      * every cell's members are split into *virtual query rows* of at
+        most ``cap`` points (all points are processed),
+      * the candidate table keeps only the first ``cap`` members per
+        cell (overflow drops candidates only; NN-descent refinement
+        recovers the recall).
+    Returns (virt_table (V, cap), virt_parent (V,), cand_table
+    (nlist, cap)), padded with n.
+    """
+    counts = np.bincount(cells, minlength=nlist)
+    order = np.argsort(cells, kind="stable")
+    starts = np.zeros(nlist + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    cand_table = np.full((nlist, cap), n, dtype=np.int32)
+    sorted_cells = cells[order]
+    pos = np.arange(len(cells)) - starts[sorted_cells]
+    keep = pos < cap
+    cand_table[sorted_cells[keep], pos[keep]] = order[keep]
+
+    n_virt_per_cell = np.maximum(1, -(-counts // cap))
+    virt_parent = np.repeat(np.arange(nlist, dtype=np.int32),
+                            n_virt_per_cell)
+    v_total = int(n_virt_per_cell.sum())
+    virt_table = np.full((v_total, cap), n, dtype=np.int32)
+    virt_starts = np.zeros(nlist + 1, dtype=np.int64)
+    np.cumsum(n_virt_per_cell, out=virt_starts[1:])
+    virt_row = virt_starts[sorted_cells] + pos // cap
+    virt_col = pos % cap
+    virt_table[virt_row, virt_col] = order
+    return virt_table, virt_parent, cand_table
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name"))
+def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
+              k: int, nprobe: int, dtype_name: str):
+    """For each virtual query row: exact kNN of its points within the
+    probed cells' candidate lists.
+
+    x_pad: (n+1, d) with a zero pad row.  Returns idx/dist (V, cap, k)
+    aligned with virt_table.
     """
     n = x_pad.shape[0] - 1
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
-    def one_cell(args):
-        members, nbrs = args                      # (C,), (nprobe,)
-        q = x_pad[members]                        # (C, d)
-        cand = table[nbrs].reshape(-1)            # (nprobe*C,)
-        xc = x_pad[cand]                          # (nprobe*C, d)
-        dist = l2_panel(q, xc, dtype=dtype)       # (C, nprobe*C)
+    def one_row(args):
+        members, parent = args                    # (cap,), ()
+        q = x_pad[members]                        # (cap, d)
+        nbrs = cell_nbrs[parent]                  # (nprobe,)
+        cand = cand_table[nbrs].reshape(-1)       # (nprobe*cap,)
+        xc = x_pad[cand]                          # (nprobe*cap, d)
+        dist = l2_panel(q, xc, dtype=dtype)       # (cap, nprobe*cap)
         invalid = (cand[None, :] == members[:, None]) | (cand[None, :] >= n)
         dist = jnp.where(invalid, jnp.inf, dist)
         neg_d, pos = jax.lax.top_k(-dist, k)
-        idx = cand[pos]                           # (C, k)
+        idx = cand[pos]                           # (cap, k)
         return idx.astype(jnp.int32), -neg_d
 
-    return jax.lax.map(one_cell, (table, cell_nbrs))
+    return jax.lax.map(one_row, (virt_table, virt_parent))
 
 
 def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
@@ -114,7 +155,13 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     from .kmeans import assign_to_centroids
     cells = np.asarray(assign_to_centroids(x, centroids))
 
-    table = jnp.asarray(build_member_table(cells, nlist, n))
+    # bounded tables: cap at 4x the average cell size
+    cap = max(k + 1, int(4 * n / nlist) + 1)
+    virt_table, virt_parent, cand_table = build_ivf_tables(cells, nlist,
+                                                           n, cap)
+    virt_table = jnp.asarray(virt_table)
+    virt_parent = jnp.asarray(virt_parent)
+    cand_table = jnp.asarray(cand_table)
 
     # nearest cells per cell (self included first, exact panel on centroids)
     c_sq = corpus_sqnorm(centroids)
@@ -122,11 +169,12 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     _, cell_nbrs = jax.lax.top_k(-cd, nprobe)
 
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
-    idx_t, dist_t = _ivf_join(x_pad, table, cell_nbrs.astype(jnp.int32),
-                              k, nprobe, dtype)
+    idx_t, dist_t = _ivf_join(x_pad, virt_table, virt_parent, cand_table,
+                              cell_nbrs.astype(jnp.int32), k, nprobe,
+                              dtype)
 
-    # scatter cell-blocked results back to row order
-    flat_members = table.reshape(-1)
+    # scatter row-blocked results back to point order (pad id n drops)
+    flat_members = virt_table.reshape(-1)
     idx = jnp.zeros((n + 1, k), jnp.int32).at[flat_members].set(
         idx_t.reshape(-1, k), mode="drop")[:n]
     dist = jnp.zeros((n + 1, k), jnp.float32).at[flat_members].set(

@@ -76,3 +76,36 @@ def test_ivf_plus_nndescent_via_api(rng):
     rec0 = recall_at_k(g0.indices, exact_idx)
     assert rec > rec0
     assert rec > 0.95, (rec0, rec)
+
+
+def test_ivf_tables_virtual_split(rng):
+    """Oversized cells split into virtual query rows: every point is
+    processed even with a bounded capacity."""
+    from annembed_tpu.knn.ivf import build_ivf_tables
+    # one monster cell + small cells
+    cells = np.concatenate([np.zeros(500, np.int64),
+                            rng.integers(1, 8, 100)]).astype(np.int64)
+    vt, vp, ct = build_ivf_tables(cells, 8, 600, cap=64)
+    # all 600 points appear exactly once in the virtual table
+    members = vt[vt < 600]
+    assert len(members) == 600
+    assert len(np.unique(members)) == 600
+    # the monster cell spans ceil(500/64) = 8 virtual rows of parent 0
+    assert (vp == 0).sum() == 8
+    # candidate table capped at 64
+    assert ct.shape == (8, 64)
+
+
+def test_ivf_unbalanced_lowdim(rng):
+    """2-D clustered data (the embedded-space quality case that
+    overflowed memory before virtual splitting)."""
+    centers = rng.normal(size=(3, 2)) * 20
+    sizes = [2500, 300, 200]
+    x = np.concatenate([centers[i] + rng.normal(size=(s, 2))
+                        for i, s in enumerate(sizes)]).astype(np.float32)
+    idx, dist = knn_graph_ivf(x, k=10, nlist=24, nprobe=8)
+    rows = np.arange(3000)[:, None]
+    assert not (np.asarray(idx) == rows).any()
+    exact_idx, _ = knn_graph_brute(x, k=10)
+    rec = recall_at_k(idx, exact_idx)
+    assert rec > 0.8, rec
