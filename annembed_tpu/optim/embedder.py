@@ -190,6 +190,14 @@ class Embedder:
     def get_initial_embedding(self) -> Optional[jnp.ndarray]:
         return self.initial_embedding
 
+    def get_embedded_by_nodeid(self, node: int) -> jnp.ndarray:
+        """Row of the embedding (reference embedder.rs:421; node ids are
+        positional here so dataid == nodeid)."""
+        return self.embedding[node]
+
+    # DataIds are positional row numbers in this build (no IndexSet)
+    get_embedded_by_dataid = get_embedded_by_nodeid
+
     def get_kgraph(self) -> Optional[KGraph]:
         if self.kgraph is not None:
             return self.kgraph
