@@ -83,7 +83,13 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
 
     lengths = _edge_lengths_embedded(y, g.indices)          # (n, k)
 
-    # embedded-space kNN graph: radius = nbng-th neighbour distance
+    # embedded-space kNN graph: radius = nbng-th neighbour distance.
+    # NN-descent refinement is skipped here: at nbng ~ 50 its candidate
+    # set is (2*nbng)^2 per node (prohibitive at millions of points),
+    # and the radius estimate only shifts marginally with IVF-level
+    # recall.
+    if knn_params is None:
+        knn_params = KnnParams(knbn=nbng, refine_rounds=0)
     emb_graph = build_kgraph(y, nbng, distance="DistL2", params=knn_params)
     radius = emb_graph.dists[:, -1]                         # (n,)
 

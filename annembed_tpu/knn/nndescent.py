@@ -91,16 +91,93 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
     return ni, jnp.maximum(nd, 0.0)
 
 
+#: rows processed per device program: the axon runtime kills programs
+#: that execute continuously for many minutes; a slab bounds each jit
+#: call to seconds (candidate joins cost ~0.1-0.3 ms per row at k~8,
+#: more at large k)
+_ROWS_PER_PROGRAM = 200_000
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
+                    rid_slab, k: int, block_rows: int):
+    """One bounded slab of the local join (rows of one chunk)."""
+    n = x_pad.shape[0] - 1
+    rows = idx_slab.shape[0]
+    n_blocks = -(-rows // block_rows)
+    pad_rows = n_blocks * block_rows - rows
+    idx_p = jnp.pad(idx_slab, ((0, pad_rows), (0, 0)), constant_values=n)
+    dist_p = jnp.pad(dist_slab, ((0, pad_rows), (0, 0)))
+    uni_p = jnp.pad(uni_slab, ((0, pad_rows), (0, 0)), constant_values=n)
+    rid_p = jnp.pad(rid_slab, (0, pad_rows), constant_values=n)
+
+    def one(args):
+        cur_idx, cur_dist, uni, rid = args
+        cand = union_pp[uni].reshape(uni.shape[0], -1)
+        q = x_pad[rid]
+        xc = x_pad[cand]
+        d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
+        invalid = (cand >= n) | (cand == rid[:, None])
+        known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
+        d2 = jnp.where(invalid | known, jnp.inf, d2)
+        cd = jnp.sqrt(jnp.maximum(d2, 0.0))
+        all_d = jnp.concatenate([cur_dist, cd], axis=1)
+        all_i = jnp.concatenate([cur_idx, cand], axis=1)
+        neg_d, pos = jax.lax.top_k(-all_d, k)
+        new_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return new_i.astype(jnp.int32), -neg_d
+
+    ni, nd = jax.lax.map(one, (
+        idx_p.reshape(n_blocks, block_rows, -1),
+        dist_p.reshape(n_blocks, block_rows, -1),
+        uni_p.reshape(n_blocks, block_rows, -1),
+        rid_p.reshape(n_blocks, block_rows)))
+    return (ni.reshape(-1, k)[:rows],
+            jnp.maximum(nd.reshape(-1, k)[:rows], 0.0))
+
+
 def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                      block_rows: int = 512, rev_capacity: int = 0):
-    """Refine (indices, dists) in place over n_rounds.  Only L2."""
+    """Refine (indices, dists) in place over n_rounds.  Only L2.
+    Work is dispatched in bounded row slabs (device-program time limit)."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     k = indices.shape[1]
     if rev_capacity <= 0:
         rev_capacity = k
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+    # scale the slab down for large candidate sets (cost ~ (k+rc)^2)
+    slab = max(block_rows,
+               _ROWS_PER_PROGRAM * 196 // max((k + rev_capacity) ** 2, 196))
+    slab -= slab % block_rows or 0
+    if n <= slab:
+        for _ in range(n_rounds):
+            indices, dists = _nndescent_round(x_pad, indices, dists, k,
+                                              block_rows, rev_capacity)
+        return indices, dists
+    ids = jnp.arange(n, dtype=jnp.int32)
+    pad = (-n) % slab
     for _ in range(n_rounds):
-        indices, dists = _nndescent_round(x_pad, indices, dists, k,
-                                          block_rows, rev_capacity)
+        rev = _reverse_table(indices, rev_capacity)
+        union = jnp.concatenate([indices, rev], axis=1)
+        union_pp = jnp.pad(union, ((0, 1), (0, 0)), constant_values=n)
+        new_i = []
+        new_d = []
+        for s0 in range(0, n, slab):
+            s1 = min(s0 + slab, n)
+            sl_pad = slab - (s1 - s0)
+            ni, nd = _nndescent_slab(
+                x_pad, union_pp,
+                jnp.pad(indices[s0:s1], ((0, sl_pad), (0, 0)),
+                        constant_values=n),
+                jnp.pad(dists[s0:s1], ((0, sl_pad), (0, 0))),
+                jnp.pad(union[s0:s1], ((0, sl_pad), (0, 0)),
+                        constant_values=n),
+                jnp.pad(ids[s0:s1], (0, sl_pad), constant_values=n),
+                k, block_rows)
+            new_i.append(ni[:s1 - s0])
+            new_d.append(nd[:s1 - s0])
+        indices = jnp.concatenate(new_i)
+        dists = jnp.concatenate(new_d)
+    del pad
     return indices, dists
