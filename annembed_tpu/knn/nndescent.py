@@ -4,9 +4,11 @@ The reference relies on HNSW's navigability for recall; our IVF local
 join can miss neighbours that fall outside the probed cells.
 NN-descent (Dong et al. 2011) repairs this: neighbours-of-neighbours
 are excellent candidates.  TPU shape: one round gathers, for every
-node, its k^2 two-hop candidates plus a fixed-width reverse-neighbour
-table, computes exact distances in row panels (gather + VPU reduce),
-and merges with the current top-k.  Everything is static-shaped.
+node, the two-hop candidates of its *symmetrized* neighbourhood
+(forward union a fixed-width reverse table), computes exact distances
+in row panels (gather + VPU reduce), and merges with the current
+top-k.  Everything is static-shaped; work is dispatched in bounded row
+slabs to respect the device-program time limit.
 """
 
 from __future__ import annotations
@@ -156,7 +158,6 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                                               block_rows, rev_capacity)
         return indices, dists
     ids = jnp.arange(n, dtype=jnp.int32)
-    pad = (-n) % slab
     for _ in range(n_rounds):
         rev = _reverse_table(indices, rev_capacity)
         union = jnp.concatenate([indices, rev], axis=1)
@@ -179,5 +180,4 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
             new_d.append(nd[:s1 - s0])
         indices = jnp.concatenate(new_i)
         dists = jnp.concatenate(new_d)
-    del pad
     return indices, dists
