@@ -169,9 +169,27 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     _, cell_nbrs = jax.lax.top_k(-cd, nprobe)
 
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
-    idx_t, dist_t = _ivf_join(x_pad, virt_table, virt_parent, cand_table,
-                              cell_nbrs.astype(jnp.int32), k, nprobe,
-                              dtype)
+    cell_nbrs = cell_nbrs.astype(jnp.int32)
+
+    # dispatch the join in bounded virtual-row slabs: one device program
+    # must stay in the seconds range (the runtime kills multi-minute
+    # programs); a slab costs ~rows * cap * nprobe gather-rows
+    v_total = virt_table.shape[0]
+    rows_per_slab = max(8, 20_000_000 // max(cap * nprobe, 1))
+    idx_parts = []
+    dist_parts = []
+    for s0 in range(0, v_total, rows_per_slab):
+        s1 = min(s0 + rows_per_slab, v_total)
+        pad_r = rows_per_slab - (s1 - s0)
+        vt = jnp.pad(virt_table[s0:s1], ((0, pad_r), (0, 0)),
+                     constant_values=n)
+        vp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
+        it, dt = _ivf_join(x_pad, vt, vp, cand_table, cell_nbrs, k,
+                           nprobe, dtype)
+        idx_parts.append(it[:s1 - s0])
+        dist_parts.append(dt[:s1 - s0])
+    idx_t = jnp.concatenate(idx_parts)
+    dist_t = jnp.concatenate(dist_parts)
 
     # scatter row-blocked results back to point order (pad id n drops)
     flat_members = virt_table.reshape(-1)
