@@ -53,10 +53,16 @@ def main():
 
     if args.synthetic:
         rng = np.random.default_rng(7)
-        latent = rng.normal(size=(args.synthetic, 8)).astype(np.float32)
+        n_s = args.synthetic
+        # 32-cluster 8-d latent manifold lifted to 28 dims: featureless
+        # blobs embed degenerately in 2-D (any method), clustered data
+        # exercises the quality estimator meaningfully
+        centers = rng.normal(size=(32, 8)).astype(np.float32) * 4.0
+        latent = (centers[rng.integers(0, 32, n_s)]
+                  + rng.normal(size=(n_s, 8)).astype(np.float32))
         lift = rng.normal(size=(8, 28)).astype(np.float32)
         x = latent @ lift + 0.3 * rng.normal(
-            size=(args.synthetic, 28)).astype(np.float32)
+            size=(n_s, 28)).astype(np.float32)
     else:
         from annembed_tpu.io.csv_io import get_toembed_from_csv
         x = get_toembed_from_csv(args.csv, subsample=args.sampling)
