@@ -194,18 +194,33 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
     reject = (neg_ids == jnp.arange(n, dtype=jnp.int32)[:, None])
     reject |= (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
 
-    yi = y[:, None, :]
-    scale = emb_scale[:, None]
-    d2s = jnp.sum(jnp.square(yi - yk), -1) / jnp.square(scale)
-    coeff = _common_coeff(d2s, scale, b)
-    rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
-    coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
     if neg_weight is not None:
         nw_rolled = jnp.roll(neg_weight, -offset * n_neg, axis=0)
-        coeff_ik = coeff_ik * jnp.tile(nw_rolled, n_neg).reshape(n, n_neg)
-    coeff_ik = jnp.where((d2s > 0.0) & jnp.logical_not(reject),
-                         coeff_ik, 0.0)
-    return jnp.sum((yi - yk) * coeff_ik[:, :, None], axis=1)
+        nw = jnp.tile(nw_rolled, n_neg).reshape(n, n_neg)
+    else:
+        nw = None
+
+    # SEQUENTIAL kicks, exactly like the reference's negative loop
+    # (embedder.rs:1244-1299): each kick moves y_i, and the next kick's
+    # coefficient is computed at the moved position.  Summing the kicks
+    # at the original position instead lets coherent point piles
+    # compound up to 2*n_neg x displacement per sweep and fly off
+    # (observed: |coord| ~ 1e3 and exact pile collapse at 2M).
+    scale = emb_scale[:, None]          # (n, 1)
+    yi = y
+    for t in range(n_neg):
+        yk_t = yk[:, t, :]              # (n, d)
+        d2s = jnp.sum(jnp.square(yi - yk_t), -1,
+                      keepdims=True) / jnp.square(scale)
+        coeff = _common_coeff(d2s, scale, b)
+        rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+        coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+        if nw is not None:
+            coeff_ik = coeff_ik * nw[:, t:t + 1]
+        ok = (d2s > 0.0) & jnp.logical_not(reject[:, t:t + 1])
+        coeff_ik = jnp.where(ok, coeff_ik, 0.0)
+        yi = yi + (yi - yk_t) * coeff_ik
+    return yi - y
 
 
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
