@@ -268,17 +268,22 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     kg = k // n_groups
     dim = y0.shape[1]
 
+    # NOTE: w_rev / m_rev stay intact even when the reverse edge lives
+    # in a different column group.  Each direction applies its half of
+    # the pair closure in its own sweep with F computed from BOTH
+    # multiplicities; zeroing the cross-group reverse made mutual pairs
+    # look one-sided (full closure from both sides in alternating
+    # sweeps -> position swapping -> runaway drift of tight cliques,
+    # observed as |coord| ~ 1e2-1e3 "flying piles" at 80k+).
     groups = []
     for c in range(n_groups):
         sl = slice(c * kg, (c + 1) * kg)
         idx_g = indices[:, sl]
         flat = idx_g.reshape(-1)
         order = jnp.argsort(flat)
-        same_group = (rev_col[:, sl] // kg) == c
         groups.append(dict(
             idx=idx_g, w=w[:, sl], m=m_visit[:, sl],
-            w_rev=jnp.where(same_group, w_rev[:, sl], 0.0),
-            m_rev=jnp.where(same_group, m_rev_visit[:, sl], 0.0),
+            w_rev=w_rev[:, sl], m_rev=m_rev_visit[:, sl],
             order=order, dst_sorted=flat[order]))
 
     def make_branch(c):
