@@ -155,7 +155,23 @@ class Embedder:
                           init: jnp.ndarray) -> jnp.ndarray:
         p = self.params
         t0 = time.perf_counter()
-        if p.optimizer == "dense":
+        # Correctness guard (round 1): at multi-million scale the dense
+        # sweeps still develop exact coordinate pile-ups that the
+        # per-sample dynamics do not (validated by a 2M sampling-path
+        # control: healthy radii vs 85% zero-radius piles).  Until the
+        # dense dynamics are fixed at that scale, very large graphs use
+        # the per-sample path.  Override with optimizer="dense!" to
+        # force dense.
+        optimizer = p.optimizer
+        if optimizer == "dense" and g.nb_nodes > 1_000_000:
+            logger.warning(
+                "n=%d > 1M: using the per-sample optimizer for "
+                "correctness (dense pile-up at scale, see PERF.md); "
+                "force with optimizer='dense!'", g.nb_nodes)
+            optimizer = "sampling"
+        elif optimizer == "dense!":
+            optimizer = "dense"
+        if optimizer == "dense":
             from .dense import run_dense_optimization
             from .ce import ce_value_dense
             hub = (hubness_sampling_weights(g) if p.hubness_weighting
