@@ -80,27 +80,54 @@ class CarreDuChamp:
         self.kgraph = kgraph
         dm = DiffusionMaps(params=dparams)
         self.glaplacian: GraphLaplacian = dm.laplacian_from_kgraph(kgraph)
+        # Row-sorted COO copy + per-row offsets: a point's kernel row is
+        # then a contiguous window of at most max_row entries — an O(Q *
+        # max_degree) gather, replacing the O(Q * nnz) comparison mask
+        # that made CdC unusable at large n (the reference walks CSR
+        # rows the same way, graphlaplace.rs:204).
+        lap = self.glaplacian
+        rows_np = np.asarray(lap.rows)
+        order = np.argsort(rows_np, kind="stable")
+        self._cols_s = jnp.asarray(np.asarray(lap.cols)[order])
+        self._vals_s = jnp.asarray(np.asarray(lap.vals)[order])
+        counts = np.bincount(rows_np, minlength=lap.n)
+        self._row_start = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32))
+        self._row_count = jnp.asarray(counts.astype(np.int32))
+        self._max_row = int(counts.max())
 
     @property
     def dim(self) -> int:
         return self.data.shape[1]
 
     # -- kernel rows ---------------------------------------------------
+    def _kernel_entries(self, points: jnp.ndarray):
+        """Sparse kernel rows: (probas (Q, L), cols (Q, L)) with
+        L = max row length; padded entries have proba 0."""
+        lap = self.glaplacian
+        points = jnp.asarray(points, jnp.int32)
+        total = self._cols_s.shape[0]
+        offs = jnp.arange(self._max_row, dtype=jnp.int32)[None, :]
+        pos = jnp.minimum(self._row_start[points][:, None] + offs,
+                          total - 1)                       # (Q, L)
+        valid = offs < self._row_count[points][:, None]
+        cols = jnp.where(valid, self._cols_s[pos], 0)
+        vals = jnp.where(valid, self._vals_s[pos], 0.0)
+        # P_ij = K_ij * normalizer_j / normalizer_i
+        p = vals * lap.normalizer[cols] \
+            / jnp.maximum(lap.normalizer[points][:, None], 1e-30)
+        return p, cols
+
     def kernel_rows(self, points: jnp.ndarray) -> jnp.ndarray:
         """Random-walk transition rows P_i. for a batch of point ranks;
         dense (Q, n), rows sum to ~1."""
-        lap = self.glaplacian
         points = jnp.asarray(points, jnp.int32)
-        mask = lap.rows[None, :] == points[:, None]        # (Q, nnz)
-        # P_ij = K_ij * normalizer_j / normalizer_i
-        p = lap.vals[None, :] * lap.normalizer[lap.cols][None, :] \
-            / jnp.maximum(lap.normalizer[points][:, None], 1e-30)
-        p = jnp.where(mask, p, 0.0)
-        out = jnp.zeros((points.shape[0], lap.n), jnp.float32)
-        q_idx = jnp.repeat(jnp.arange(points.shape[0]), lap.cols.shape[0]
-                           ).reshape(points.shape[0], -1)
-        out = out.at[q_idx, jnp.broadcast_to(lap.cols, mask.shape)].add(p)
-        return out
+        p, cols = self._kernel_entries(points)
+        q_idx = jnp.broadcast_to(
+            jnp.arange(points.shape[0], dtype=jnp.int32)[:, None],
+            cols.shape)
+        out = jnp.zeros((points.shape[0], self.glaplacian.n), jnp.float32)
+        return out.at[q_idx, cols].add(p)
 
     # -- cdc matrix ----------------------------------------------------
     def get_cdc_at_point(self, point_rank: int) -> Tuple[jnp.ndarray, CdcMat]:
@@ -110,13 +137,17 @@ class CarreDuChamp:
 
     def get_cdc_batch(self, points) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Vectorized CdC for a batch of point ranks:
-        returns (means (Q, d), covs (Q, d, d))."""
+        returns (means (Q, d), covs (Q, d, d)).
+
+        Works from the sparse kernel entries — only each point's own
+        neighbourhood coordinates are gathered (Q, L, d), never a dense
+        (Q, n) row, so the batch is usable at multi-million n."""
         points = jnp.asarray(points, jnp.int32)
-        p = self.kernel_rows(points)                       # (Q, n)
-        x = self.data                                      # (n, d)
-        mean = p @ x                                       # (Q, d)
-        centered = x[None, :, :] - mean[:, None, :]        # (Q, n, d)
-        cov = jnp.einsum("qn,qni,qnj->qij", p, centered, centered)
+        p, cols = self._kernel_entries(points)             # (Q, L)
+        xg = self.data[cols]                               # (Q, L, d)
+        mean = jnp.einsum("ql,qld->qd", p, xg)             # (Q, d)
+        centered = xg - mean[:, None, :]                   # (Q, L, d)
+        cov = jnp.einsum("ql,qli,qlj->qij", p, centered, centered)
         scales = self.glaplacian.normed_scales
         if scales is None:
             s = jnp.ones((points.shape[0],), jnp.float32)
@@ -124,6 +155,40 @@ class CarreDuChamp:
             s = scales[points]
         cov = cov / (2.0 * jnp.square(s))[:, None, None]
         return mean, cov
+
+    def psd_dist_pairs(self, points_a, points_b) -> jnp.ndarray:
+        """Batched Bures-Wasserstein upper bound between the CdC
+        operators at points_a[i] and points_b[i] (cdcop.rs:377-399),
+        computed directly from the sparse kernel entries — the (d, d)
+        covariances are never materialized, so this works at d = 784
+        and thousands of pairs:
+            tr A    = sum_l p_l ||c_l||^2 / (2 s_a^2)
+            tr(AB)  = p^T (G o G) q / (4 s_a^2 s_b^2),  G = C_a C_b^T
+        """
+        pa = jnp.asarray(points_a, jnp.int32)
+        pb = jnp.asarray(points_b, jnp.int32)
+        w_a, cols_a = self._kernel_entries(pa)             # (m, L)
+        w_b, cols_b = self._kernel_entries(pb)
+        xa = self.data[cols_a]                             # (m, L, d)
+        xb = self.data[cols_b]
+        mean_a = jnp.einsum("ml,mld->md", w_a, xa)
+        mean_b = jnp.einsum("ml,mld->md", w_b, xb)
+        ca = xa - mean_a[:, None, :]
+        cb = xb - mean_b[:, None, :]
+        scales = self.glaplacian.normed_scales
+        if scales is None:
+            sa = sb = jnp.ones((pa.shape[0],), jnp.float32)
+        else:
+            sa, sb = scales[pa], scales[pb]
+        tra = jnp.einsum("ml,ml->m", w_a, jnp.sum(ca * ca, -1)) \
+            / (2.0 * jnp.square(sa))
+        trb = jnp.einsum("ml,ml->m", w_b, jnp.sum(cb * cb, -1)) \
+            / (2.0 * jnp.square(sb))
+        g = jnp.einsum("mld,med->mle", ca, cb)             # (m, L, L)
+        trab = jnp.einsum("ml,mle,me->m", w_a, g * g, w_b) \
+            / (4.0 * jnp.square(sa) * jnp.square(sb))
+        d2 = tra + trb - 2.0 * jnp.sqrt(jnp.maximum(trab, 0.0))
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
 
     # -- CdC of function pairs ------------------------------------------
     def apply_fvec(self, point_rank: int, f: Callable, g: Callable):

@@ -69,7 +69,8 @@ def _clipped_alpha(d2s, scale, w, gamma, b):
 
 
 def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
-                      b: float):
+                      b: float, f_min: float = 1e-3, mask=None,
+                      mask_p: float = 1.0):
     """Closed-form multi-sample attraction for all edges at once.
 
     A pair (i, j) is touched by both directed edges (i->j with
@@ -94,8 +95,15 @@ def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
                              gamma, b)
     alpha_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
                              gamma, b)
-    f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_e) \
+    m_eff = m_e if mask is None else m_e * mask * (1.0 / mask_p)
+    f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_eff) \
         * jnp.power(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05), m_rev)
+    # floor the per-sweep pair closure at one clipped sample's worth
+    # ((1 - 2*0.49) = 0.02): deeper closed-form closure drives the gap
+    # below f32 resolution in ONE sweep, an absorbing coincidence state
+    # (all pair forces and far-negative kicks round to zero) — the 2M
+    # pile-collapse mechanism
+    f_pair = jnp.maximum(f_pair, f_min)
     share = m_e / jnp.maximum(m_e + m_rev, 1e-30)
     net = share * (1.0 - f_pair) * 0.5               # (n, k)
     step_vec = (yj - yi) * net[:, :, None]           # (n, k, d)
@@ -103,13 +111,28 @@ def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
 
 
 def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
-                                   emb_scale, gamma, b: float):
+                                   emb_scale, gamma, b: float,
+                                   f_min: float = 1e-3, mask=None,
+                                   mask_p: float = 1.0):
     """Scatter-free attraction: each row applies only its own
     endpoint's displacement.  A mutual pair is handled half by each of
     its two rows (each moves itself (1-F)/2 toward the other); a
     one-sided edge closes the full gap from the source side (the
     umap-learn move_other=False convention).  Eliminates the reverse
     segment-sum — the most expensive op of the sweep on TPU.
+
+    ``mask`` (optional, (n, k) bernoulli(mask_p)) fires each edge's own
+    multiplicity stochastically per sweep (scaled 1/mask_p to preserve
+    the expected sample count): the per-sweep noise the reference's
+    per-sample dynamics have and the deterministic closed form lacks —
+    without it, all members of a shared-neighbour clique contract
+    toward identical snapshot targets in lockstep every sweep (exact
+    pile-ups at multi-million n).  The reverse multiplicity stays at
+    its expectation so each side still applies only its bounded half of
+    the pair closure (no overshoot/position swap).
+
+    ``f_min`` floors the per-sweep pair closure at one clipped sample's
+    worth — see _attraction_sweep.
 
     Returns delta_self (n, d)."""
     yi = y[:, None, :]
@@ -121,11 +144,13 @@ def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
                              gamma, b)
     alpha_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j, w_rev,
                              gamma, b)
+    m_eff = m_e if mask is None else m_e * mask * (1.0 / mask_p)
     # exp(m log c1 + m_rev log c2): one exp + two logs instead of two
     # pow (= two exp + two log) — the sweep is VPU-bound
     f_pair = jnp.exp(
-        m_e * jnp.log(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05))
+        m_eff * jnp.log(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05))
         + m_rev * jnp.log(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05)))
+    f_pair = jnp.maximum(f_pair, f_min)
     mutual = w_rev > 0.0
     c = jnp.where(mutual, 0.5, 1.0)
     net = c * (1.0 - f_pair)                         # (n, k)
@@ -246,13 +271,15 @@ def reverse_edge_weights(indices, w):
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
                                              "nb_grad_batch", "n_groups",
                                              "scatter_free",
-                                             "seg_steps"))
+                                             "seg_steps", "f_min",
+                                             "mask_p"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, step0=0,
-                   seg_steps: int = 0):
+                   seg_steps: int = 0, f_min: float = 1e-3,
+                   mask_p: float = 1.0):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -289,15 +316,17 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     def make_branch(c):
         gd = groups[c]
 
-        def branch(y, gamma):
+        def branch(y, gamma, mask):
             if scatter_free:
                 d_self = _attraction_sweep_scatter_free(
                     y, gd["idx"], gd["w"], gd["m"], gd["w_rev"],
-                    gd["m_rev"], emb_scale, gamma, b)
+                    gd["m_rev"], emb_scale, gamma, b, f_min=f_min,
+                    mask=mask, mask_p=mask_p)
                 return y + d_self
             d_self, d_rev = _attraction_sweep(
                 y, gd["idx"], gd["w"], gd["m"], gd["w_rev"], gd["m_rev"],
-                emb_scale, gamma, b)
+                emb_scale, gamma, b, f_min=f_min, mask=mask,
+                mask_p=mask_p)
             rev_sorted = d_rev.reshape(-1, dim)[gd["order"]]
             rev_sum = jax.ops.segment_sum(rev_sorted, gd["dst_sorted"],
                                           num_segments=n,
@@ -316,7 +345,13 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         gamma = jnp.maximum(
             grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
                               / nb_grad_batch), 0.0)
-        y = jax.lax.switch(step_idx % n_groups, branches, y, gamma)
+        if mask_p < 1.0:
+            kk, k_mask = jax.random.split(kk)
+            mask = jax.random.bernoulli(k_mask, mask_p,
+                                        (n, kg)).astype(jnp.float32)
+        else:
+            mask = None
+        y = jax.lax.switch(step_idx % n_groups, branches, y, gamma, mask)
 
         offset = jax.random.randint(kk, (), 0, n)
         d_neg = _repulsion_sweep_rolled(y, offset, indices, emb_scale,
@@ -349,7 +384,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
-                   scatter_free: bool = True):
+                   scatter_free: bool = True, f_min: float = 1e-3,
+                   mask_p: float = 1.0):
     total_steps = nb_grad_batch * n_sub
     # segments stay multiples of n_groups so the group rotation aligns
     # with the compiled switch order
@@ -364,7 +400,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
                            n_sub=n_sub, n_neg=n_neg,
                            nb_grad_batch=nb_grad_batch,
                            n_groups=n_groups, scatter_free=scatter_free,
-                           step0=jnp.int32(si * seg), seg_steps=seg)
+                           step0=jnp.int32(si * seg), seg_steps=seg,
+                           f_min=f_min, mask_p=mask_p)
     return y
 
 
@@ -420,9 +457,12 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                          b=float(params.b), n_sub=n_sub, n_neg=n_neg,
                          nb_grad_batch=int(params.nb_grad_batch),
                          n_groups=n_groups,
-                         scatter_free=params.dense_scatter_free)
+                         scatter_free=params.dense_scatter_free,
+                         f_min=float(params.dense_f_min),
+                         mask_p=float(params.dense_mask_p))
     y = y_r[inv]
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
-            "n_groups": n_groups,
+            "n_groups": n_groups, "f_min": float(params.dense_f_min),
+            "mask_p": float(params.dense_mask_p),
             "sweeps": int(params.nb_grad_batch) * n_sub}
     return y, info

@@ -27,6 +27,7 @@ from ..graph.kgraph import KGraph, in_degree_counts
 from ..graph.proba import NodeParams, to_proba_edges
 from ..spectral.diffmaps import DiffusionMaps
 from ..knn.hierarchy import KGraphProjection
+from ..utils.profiling import PhaseTimer, device_trace
 from .ce import build_edge_set, run_entropy_optimization
 
 logger = logging.getLogger(__name__)
@@ -62,6 +63,9 @@ class Embedder:
     embedding: Optional[jnp.ndarray] = None
     initial_space: Optional[NodeParams] = None
     info: dict = dataclasses.field(default_factory=dict)
+    #: per-phase wall timers (the reference's ProcessTime/SystemTime
+    #: pairs around every phase, embedder.rs:871-884)
+    timer: PhaseTimer = dataclasses.field(default_factory=PhaseTimer)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -101,16 +105,19 @@ class Embedder:
         g = g if g is not None else self.kgraph
         p = self.params
         dim = p.asked_dim
-        t0 = time.perf_counter()
-        if p.dmap_init:
-            init = self._dmap_initial(g, dim)
-            init = set_data_box(init, 10.0)
-        else:
-            init = self._random_initial(g.nb_nodes, dim, 1.0)
-        self.info["init_time"] = time.perf_counter() - t0
+        with self.timer.phase("initialization") as sync:
+            if p.dmap_init:
+                init = self._dmap_initial(g, dim)
+                init = set_data_box(init, 10.0)
+            else:
+                init = self._random_initial(g.nb_nodes, dim, 1.0)
+            sync.append(init)
+        self.info["init_time"] = self.timer.timings["initialization"]
         logger.info("initialization done in %.2fs", self.info["init_time"])
 
-        self.initial_space = to_proba_edges(g, p.scale_rho, p.beta)
+        with self.timer.phase("proba_edges") as sync:
+            self.initial_space = to_proba_edges(g, p.scale_rho, p.beta)
+            sync.append(self.initial_space.probas)
         self.initial_embedding = init
         y = self._entropy_optimize(g, self.initial_space, init)
         self.embedding = y
@@ -155,40 +162,30 @@ class Embedder:
                           init: jnp.ndarray) -> jnp.ndarray:
         p = self.params
         t0 = time.perf_counter()
-        # Correctness guard (round 1): at multi-million scale the dense
-        # sweeps still develop exact coordinate pile-ups that the
-        # per-sample dynamics do not (validated by a 2M sampling-path
-        # control: healthy radii vs 85% zero-radius piles).  Until the
-        # dense dynamics are fixed at that scale, very large graphs use
-        # the per-sample path.  Override with optimizer="dense!" to
-        # force dense.
         optimizer = p.optimizer
-        if optimizer == "dense" and g.nb_nodes > 1_000_000:
-            logger.warning(
-                "n=%d > 1M: using the per-sample optimizer for "
-                "correctness (dense pile-up at scale, see PERF.md); "
-                "force with optimizer='dense!'", g.nb_nodes)
-            optimizer = "sampling"
-        elif optimizer == "dense!":
+        if optimizer == "dense!":
             optimizer = "dense"
-        if optimizer == "dense":
-            from .dense import run_dense_optimization
-            from .ce import ce_value_dense
-            hub = (hubness_sampling_weights(g) if p.hubness_weighting
-                   else None)
-            info = {"initial_ce": float(ce_value_dense(
-                init, g, npar.probas, npar.scale, p.b))}
-            y, dinfo = run_dense_optimization(init, g, npar, p,
-                                              n_sub=p.n_sub,
-                                              neg_weights=hub)
-            info.update(dinfo)
-            info["final_ce"] = float(ce_value_dense(
-                y, g, npar.probas, npar.scale, p.b))
-        else:
-            hub = (hubness_sampling_weights(g) if p.hubness_weighting
-                   else None)
-            es = build_edge_set(g, npar, hubness_weights=hub)
-            y, info = run_entropy_optimization(init, es, p)
+        with device_trace(p.trace_dir), \
+                self.timer.phase("entropy_optimization") as sync:
+            if optimizer == "dense":
+                from .dense import run_dense_optimization
+                from .ce import ce_value_dense
+                hub = (hubness_sampling_weights(g) if p.hubness_weighting
+                       else None)
+                info = {"initial_ce": float(ce_value_dense(
+                    init, g, npar.probas, npar.scale, p.b))}
+                y, dinfo = run_dense_optimization(init, g, npar, p,
+                                                  n_sub=p.n_sub,
+                                                  neg_weights=hub)
+                info.update(dinfo)
+                info["final_ce"] = float(ce_value_dense(
+                    y, g, npar.probas, npar.scale, p.b))
+            else:
+                hub = (hubness_sampling_weights(g) if p.hubness_weighting
+                       else None)
+                es = build_edge_set(g, npar, hubness_weights=hub)
+                y, info = run_entropy_optimization(init, es, p)
+            sync.append(y)
         info["optimize_time"] = time.perf_counter() - t0
         logger.info("entropy optimization: %s", info)
         self.info.update(info)

@@ -85,6 +85,20 @@ class EmbedderParams:
     #: only its own endpoint; mutual pairs split the move between their
     #: two rows) — removes the reverse segment-sum per sweep.
     dense_scatter_free: bool = True
+    #: write a jax.profiler device trace of the optimization phase here
+    #: (view with tensorboard/xprof); None = off.
+    trace_dir: Optional[str] = None
+    #: dense optimizer: floor of the per-sweep pair closure factor.
+    #: 0.02 = one clipped sample's worth ((1-2*0.49); embedder.rs:1228);
+    #: deeper single-sweep closed-form closure pushes pair gaps below
+    #: f32 resolution — an absorbing exact-coincidence state that
+    #: produced >=51-point piles at 2M nodes (see PERF.md).
+    dense_f_min: float = 1e-3
+    #: dense optimizer: per-sweep bernoulli probability that an edge's
+    #: own multiplicity fires (scaled 1/p to preserve expectation).
+    #: < 1 reintroduces the per-sample sampling noise the deterministic
+    #: sweeps lack; 1.0 disables masking.
+    dense_mask_p: float = 1.0
     #: sub-sweeps per gradient batch for the dense optimizer; 60 gives
     #: sync + multiplicity granularity that empirically *beats* the
     #: per-sample optimizer's embedding quality on the bench workload

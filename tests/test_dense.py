@@ -49,9 +49,12 @@ def test_attraction_closed_form_matches_sequential():
         y_seq = _ref_sample(y_seq, 1, 0, 1.0, 0.2, gamma)
     gap_seq = np.linalg.norm(y_seq[0] - y_seq[1])
 
+    # f_min=1e-9 disables the anti-collapse closure floor so the raw
+    # closed-form math can be checked against the sequential oracle
     d_self, d_rev = _attraction_sweep(
         jnp.asarray(y0), indices, w, jnp.full((2, 1), float(m)),
-        w, jnp.full((2, 1), float(m)), emb_scale, jnp.float32(gamma), 1.0)
+        w, jnp.full((2, 1), float(m)), emb_scale, jnp.float32(gamma), 1.0,
+        f_min=1e-9)
     y_m = jnp.asarray(y0) + d_self
     y_m = y_m.at[indices.reshape(-1)].add(d_rev.reshape(-1, 2))
     gap_m = float(jnp.linalg.norm(y_m[0] - y_m[1]))
@@ -156,3 +159,74 @@ def test_dense_b_not_one(rng):
     ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 0.5))
     ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 0.5))
     assert ce1 < ce0
+
+
+def test_closure_floor_caps_single_sweep_collapse():
+    """dense_f_min floors the per-sweep pair closure: with multiplicity
+    m=4 at the clip, the raw closed form shrinks the gap by 0.02^8
+    (below f32 resolution at unit coordinates — the absorbing
+    pile-collapse state); with the floor, the gap after one sweep is at
+    least f_min * gap."""
+    indices = jnp.array([[1], [0]], jnp.int32)
+    w = jnp.array([[1.0], [1.0]], jnp.float32)
+    emb_scale = jnp.array([0.2, 0.2], jnp.float32)
+    y0 = jnp.array([[0.0, 0.0], [1.0, 0.0]], jnp.float32)
+    m = jnp.full((2, 1), 4.0)
+    d_self, d_rev = _attraction_sweep(y0, indices, w, m, w, m, emb_scale,
+                                      jnp.float32(1.0), 1.0, f_min=0.02)
+    y1 = y0 + d_self
+    y1 = y1.at[indices.reshape(-1)].add(d_rev.reshape(-1, 2))
+    gap = float(jnp.linalg.norm(y1[0] - y1[1]))
+    assert gap >= 0.02 * 0.999, gap
+
+
+def test_mask_preserves_expected_displacement():
+    """The bernoulli edge mask keeps the expected per-sweep displacement
+    close to the unmasked one (linear regime) and adds variance."""
+    from annembed_tpu.optim.dense import _attraction_sweep_scatter_free
+    rng = np.random.default_rng(0)
+    n, k, d = 64, 4, 2
+    y = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    indices = jnp.asarray(
+        rng.integers(0, n, size=(n, k)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0.1, 0.3, (n, k)).astype(np.float32))
+    m_e = jnp.full((n, k), 0.05, jnp.float32)  # small: linear regime
+    m_rev = jnp.zeros((n, k), jnp.float32)
+    emb_scale = jnp.full((n,), 0.2, jnp.float32)
+    base = _attraction_sweep_scatter_free(
+        y, indices, w, m_e, m_rev, m_rev, emb_scale,
+        jnp.float32(0.05), 1.0)
+    p = 0.5
+    acc = jnp.zeros_like(base)
+    trials = 64
+    for t in range(trials):
+        mask = jax.random.bernoulli(
+            jax.random.PRNGKey(t), p, (n, k)).astype(jnp.float32)
+        acc = acc + _attraction_sweep_scatter_free(
+            y, indices, w, m_e, m_rev, m_rev, emb_scale,
+            jnp.float32(0.05), 1.0, mask=mask, mask_p=p)
+    mean_masked = np.asarray(acc / trials)
+    np.testing.assert_allclose(mean_masked, np.asarray(base),
+                               rtol=0.25, atol=5e-4)
+
+
+def test_dense_masked_quality_holds(rng):
+    """Masked + floored dense optimization still separates clusters."""
+    n = 600
+    labels = rng.integers(0, 3, n)
+    centers = np.array([[0, 0, 0], [8, 0, 0], [0, 8, 0]], np.float32)
+    x = centers[labels] + rng.normal(size=(n, 3)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (n, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=10, dense_f_min=0.02,
+                       dense_mask_p=0.5)
+    y, info = run_dense_optimization(y0, g, npar, p)
+    y = np.asarray(y)
+    assert np.isfinite(y).all()
+    assert info["mask_p"] == 0.5
+    mus = np.stack([y[labels == i].mean(0) for i in range(3)])
+    d_to = np.linalg.norm(y[:, None] - mus[None], axis=-1)
+    acc = (d_to.argmin(1) == labels).mean()
+    assert acc > 0.9, acc

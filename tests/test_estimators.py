@@ -78,3 +78,26 @@ def test_quality_random_embedding_is_worse(rng):
     q_bad = quality_estimate(g, y_bad, nbng=10)
     assert q_good.mean_nb_matched > q_bad.mean_nb_matched
     assert q_good.median_ratio < q_bad.median_ratio
+
+
+def test_cdc_batch_matches_dense_rows(rng):
+    """get_cdc_batch (sparse windowed gather) must equal the dense
+    kernel-row computation p @ x exactly on a small fixture."""
+    import jax.numpy as jnp
+    from annembed_tpu.estimators.cdc import CarreDuChamp
+    x = rng.normal(size=(300, 5)).astype(np.float32)
+    cdc = CarreDuChamp(x, knbn=8)
+    pts = jnp.array([0, 17, 123, 299])
+    mean_b, cov_b = cdc.get_cdc_batch(pts)
+    p = cdc.kernel_rows(pts)                    # dense (Q, n)
+    np.testing.assert_allclose(np.asarray(p.sum(1)), 1.0, atol=1e-4)
+    mean_d = p @ jnp.asarray(x)
+    centered = jnp.asarray(x)[None] - mean_d[:, None, :]
+    cov_d = jnp.einsum("qn,qni,qnj->qij", p, centered, centered)
+    s = cdc.glaplacian.normed_scales
+    sq = np.ones(4, np.float32) if s is None else np.asarray(s)[np.asarray(pts)]
+    cov_d = np.asarray(cov_d) / (2.0 * sq ** 2)[:, None, None]
+    np.testing.assert_allclose(np.asarray(mean_b), np.asarray(mean_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov_b), cov_d,
+                               rtol=1e-3, atol=1e-5)
