@@ -4,10 +4,13 @@ Rebuilds reference src/tools/svdapprox.rs (1669 LoC of LAPACK-backed
 range finding) as compiled JAX:
 
   * fixed-rank subspace (QR) iteration  (svdapprox.rs:285 algo 4.4)
-  * epsilon-adaptive rank selection      (svdapprox.rs:444 algo 4.2) —
-    implemented as an over-sampled fixed-rank pass followed by a
-    residual-based truncation (the per-vector Gram-Schmidt loop of the
-    reference is inherently sequential and hostile to XLA).
+  * epsilon-adaptive rank discovery      (svdapprox.rs:444 algo 4.2) —
+    ``adaptive_range_finder``: blocked Gram-Schmidt growth under
+    ``lax.while_loop`` with the reference's Halko lemma-4.1 stopping
+    rule (the reference grows one RwLock'd vector at a time; a block
+    of 8 per iteration is the TPU-shaped equivalent).
+  * ``randomized_svd_op(..., epsil=...)``: cheap fixed-rank pass with
+    residual-based truncation, kept for pipelines that know a rank cap.
   * ``direct_svd``: B = Q^T A, small dense SVD of B, U = Q Ub
     (svdapprox.rs:721-782; the LAPACK ``svddc`` boundary becomes
     ``jnp.linalg.svd`` on the (l, n) projection).
@@ -141,6 +144,102 @@ def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
     mm = coo_matmat(rows, cols, vals, n)
     return randomized_svd_op(mm, mm, (n, n), rank, n_iter=n_iter,
                              n_oversample=n_oversample, key=key)
+
+
+def adaptive_range_finder(matmat: Callable, shape: tuple[int, int],
+                          epsil: float = 0.05, max_rank: int = 128,
+                          block_size: int = 8,
+                          key: Optional[jax.Array] = None):
+    """Epsilon-adaptive randomized range finder (Halko-Tropp algo 4.2;
+    reference ``adaptative_range_finder_matrep``, svdapprox.rs:444-597).
+
+    The reference grows the basis one Gaussian sample at a time inside
+    a RwLock'd vector pool; here the same stopping rule runs *blocked*
+    under ``lax.while_loop`` with a static (m, max_rank) basis buffer —
+    each iteration draws ``block_size`` fresh Gaussian samples y = A w,
+    projects out the current basis (twice, for f32 stability), measures
+    the residual norms, and appends an orthonormalized block.  Stopping
+    rule: Halko lemma 4.1 bounds ||A - QQ^T A|| <= 10 sqrt(2/pi)
+    max_j ||y_j|| (used verbatim by the reference at
+    svdapprox.rs:521-545); the reference compares against an absolute
+    epsil, here ``epsil`` is *relative* to the operator scale (the max
+    first-block sample norm) so the rule is usable without knowing
+    ||A|| — in f32, residuals of a captured range sit at ~1e-5 of the
+    scale, not at an absolute constant.
+
+    Returns (q (m, max_rank) with zero columns past the discovered
+    rank, rank scalar int32).  Fully jittable.
+    """
+    m, n = shape
+    if key is None:
+        key = jax.random.PRNGKey(4664397)  # reference seed svdapprox.rs:70
+    max_rank = min(max_rank, min(m, n))
+    nb = -(-max_rank // block_size)
+    halko = 10.0 * jnp.sqrt(2.0 / jnp.pi)
+
+    def cond(state):
+        _, i, _, done, _, _ = state
+        return jnp.logical_and(jnp.logical_not(done), i < nb)
+
+    def body(state):
+        q, i, count, _, scale, key = state
+        key, k2 = jax.random.split(key)
+        omega = jax.random.normal(k2, (n, block_size), jnp.float32)
+        y = matmat(omega)                        # (m, bs)
+        # project out the current basis; zero columns of q are inert
+        y = y - q @ (q.T @ y)
+        y = y - q @ (q.T @ y)
+        res_max = jnp.max(jnp.linalg.norm(y, axis=0))
+        scale = jnp.maximum(scale, res_max)      # first block sets it
+        done = halko * res_max < epsil * scale
+        # per-column modified Gram-Schmidt (the reference's
+        # orthogonalize_with_q, svdapprox.rs:975, batched per block).
+        # QR is NOT usable here: its completion of rank-deficient
+        # blocks is arbitrary and need not be orthogonal to q.
+        # Degenerate directions (norm below f32 noise of the operator
+        # scale) are zeroed and not counted.
+        cols = []
+        kept = []
+        for j in range(block_size):
+            v = y[:, j]
+            for u in cols:
+                v = v - u * jnp.dot(u, v)
+            v = v - q @ (q.T @ v)
+            nrm = jnp.linalg.norm(v)
+            ok = jnp.logical_and(nrm > 1e-5 * scale,
+                                 jnp.logical_not(done))
+            cols.append(jnp.where(ok, v / jnp.maximum(nrm, 1e-30), 0.0))
+            kept.append(ok)
+        qb = jnp.stack(cols, axis=1)
+        count = count + jnp.sum(jnp.stack(kept).astype(jnp.int32))
+        q = jax.lax.dynamic_update_slice(q, qb, (0, i * block_size))
+        return q, i + 1, count, done, scale, key
+
+    q0 = jnp.zeros((m, nb * block_size), jnp.float32)
+    q, i, count, done, _, _ = jax.lax.while_loop(
+        cond, body, (q0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+                     jnp.float32(0.0), key))
+    return q[:, :max_rank], jnp.clip(count, 0, max_rank)
+
+
+def randomized_svd_adaptive(matmat: Callable, rmatmat: Callable,
+                            shape: tuple[int, int], epsil: float = 0.05,
+                            max_rank: int = 128, block_size: int = 8,
+                            key: Optional[jax.Array] = None) -> SvdResult:
+    """Adaptive-precision truncated SVD (the reference's
+    RangeApproxMode::EPSIL path, svdapprox.rs:155,721): discover the
+    rank with the adaptive finder, then project and SVD.  Columns past
+    the discovered rank are zero, so their singular triplets land at
+    the tail and are masked out."""
+    q, rank = adaptive_range_finder(matmat, shape, epsil=epsil,
+                                    max_rank=max_rank,
+                                    block_size=block_size, key=key)
+    b = rmatmat(q).T                              # (l, n) = Q^T A
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    keep = jnp.arange(s.shape[0]) < rank
+    s = jnp.where(keep, s, 0.0)
+    return SvdResult(u=u, s=s, vt=vt)
 
 
 def estimate_first_singular_value(matmat: Callable, rmatmat: Callable,

@@ -95,3 +95,38 @@ def test_epsil_truncation():
                                n_oversample=1, epsil=0.5)
     s = np.asarray(res.s)
     assert s[0] > 0 and (s[s < 0.5 * s[0]] == 0).all()
+
+
+def test_adaptive_range_finder_discovers_rank(rng):
+    """Reference test_range_approx_epsil (svdapprox.rs:1192): on a
+    synthetic rank-r matrix the adaptive finder must stop at ~r (within
+    block granularity), not at max_rank."""
+    from annembed_tpu.linalg.rsvd import adaptive_range_finder
+    m, n, r = 300, 250, 20
+    u = np.linalg.qr(rng.normal(size=(m, r)))[0]
+    v = np.linalg.qr(rng.normal(size=(n, r)))[0]
+    s = np.linspace(5.0, 1.0, r)
+    a = jnp.asarray((u * s) @ v.T, jnp.float32)
+    q, rank = adaptive_range_finder(lambda x: a @ x, (m, n),
+                                    epsil=1e-3, max_rank=128,
+                                    block_size=8)
+    rank = int(rank)
+    assert r <= rank <= r + 16, rank
+    # basis captures the range: ||A - QQ^T A||_F tiny vs ||A||_F
+    qa = np.asarray(q[:, :rank])
+    res = np.asarray(a) - qa @ (qa.T @ np.asarray(a))
+    assert np.linalg.norm(res) < 1e-2 * np.linalg.norm(np.asarray(a))
+
+
+def test_adaptive_svd_wiki_fixture():
+    """EPSIL-mode SVD on the wiki matrix (svdapprox.rs:1458-1527):
+    singular values [3, sqrt(5), 2, 0] recovered, zero dropped."""
+    from annembed_tpu.linalg.rsvd import randomized_svd_adaptive
+    a = jnp.asarray(WIKI, jnp.float32)
+    res = randomized_svd_adaptive(lambda x: a @ x, lambda x: a.T @ x,
+                                  a.shape, epsil=0.5, max_rank=4,
+                                  block_size=2)
+    s = np.asarray(res.s)
+    s_nz = np.sort(s[s > 1e-5])[::-1]
+    np.testing.assert_allclose(s_nz[:3], [3.0, np.sqrt(5.0), 2.0],
+                               atol=1e-4)
