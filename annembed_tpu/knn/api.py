@@ -35,7 +35,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
         if params.refine_rounds > 0:
             from .nndescent import nndescent_refine
             idx, dist = nndescent_refine(x, idx, dist,
-                                         n_rounds=params.refine_rounds)
+                                         n_rounds=params.refine_rounds,
+                                         distance=distance)
     return KGraph(indices=idx, dists=dist)
 
 

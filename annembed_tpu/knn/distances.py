@@ -126,6 +126,54 @@ _PANELS = {
 }
 
 
+# --- broadcastable pair-distance forms (for gather-style joins: IVF
+# local join, NN-descent candidate scoring), matching the panels above
+# exactly -------------------------------------------------------------
+
+def _l2_pair(a, b):
+    return jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(a - b), -1), 0.0))
+
+
+def _l1_pair(a, b):
+    return jnp.sum(jnp.abs(a - b), -1)
+
+
+def _cosine_pair(a, b):
+    num = jnp.sum(a * b, -1)
+    den = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(a), -1))
+                      * jnp.sqrt(jnp.sum(jnp.square(b), -1)), _EPS)
+    return 1.0 - num / den
+
+
+def _jeffreys_pair(a, b):
+    ratio = jnp.maximum(a, _EPS) / jnp.maximum(b, _EPS)
+    return jnp.sum((a - b) * jnp.log(ratio), -1)
+
+
+def _js_pair(a, b):
+    m = 0.5 * (a + b)
+    js = 0.5 * jnp.sum(_xlogy(a, a / jnp.maximum(m, _EPS)), axis=-1) \
+        + 0.5 * jnp.sum(_xlogy(b, b / jnp.maximum(m, _EPS)), axis=-1)
+    return jnp.sqrt(jnp.maximum(js, 0.0))
+
+
+_PAIRS = {
+    "DistL2": _l2_pair,
+    "DistL1": _l1_pair,
+    "DistCosine": _cosine_pair,
+    "DistJeffreys": _jeffreys_pair,
+    "DistJensenShannon": _js_pair,
+}
+
+
+def get_pair_fn(distance: str):
+    """Broadcastable pair-distance dispatch (same names as panels)."""
+    if distance not in _PAIRS:
+        raise ValueError(
+            f"unknown distance {distance!r}; valid: {sorted(_PAIRS)}")
+    return _PAIRS[distance]
+
+
 def get_panel_fn(distance: str):
     """Distance dispatch mirroring reference bin/embed.rs:546-565."""
     if distance not in _PANELS:

@@ -99,17 +99,21 @@ def build_ivf_tables(cells: np.ndarray, nlist: int, n: int,
     return virt_table, virt_parent, cand_table
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name",
+                                             "distance"))
 def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
-              k: int, nprobe: int, dtype_name: str):
+              k: int, nprobe: int, dtype_name: str,
+              distance: str = "DistL2"):
     """For each virtual query row: exact kNN of its points within the
     probed cells' candidate lists.
 
     x_pad: (n+1, d) with a zero pad row.  Returns idx/dist (V, cap, k)
     aligned with virt_table.
     """
+    from .distances import get_panel_fn
     n = x_pad.shape[0] - 1
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    panel_fn = get_panel_fn(distance)
 
     def one_row(args):
         members, parent = args                    # (cap,), ()
@@ -117,7 +121,7 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
         nbrs = cell_nbrs[parent]                  # (nprobe,)
         cand = cand_table[nbrs].reshape(-1)       # (nprobe*cap,)
         xc = x_pad[cand]                          # (nprobe*cap, d)
-        dist = l2_panel(q, xc, dtype=dtype)       # (cap, nprobe*cap)
+        dist = panel_fn(q, xc, dtype=dtype)       # (cap, nprobe*cap)
         invalid = (cand[None, :] == members[:, None]) | (cand[None, :] >= n)
         dist = jnp.where(invalid, jnp.inf, dist)
         neg_d, pos = jax.lax.top_k(-dist, k)
@@ -131,11 +135,15 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                   nprobe: int = 32, dtype: str = "float32",
                   kmeans_iter: int = 10, seed: int = 0,
                   sample_size: int = 500_000):
-    """Approximate kNN graph via IVF local join.  Returns (idx, dist)."""
-    if distance != "DistL2":
-        raise NotImplementedError(
-            "IVF currently supports DistL2 only; other metrics use the "
-            "brute-force path")
+    """Approximate kNN graph via IVF local join.  Returns (idx, dist).
+
+    All five reference metrics are served (bin/embed.rs:546-565): the
+    in-join distances use the metric's own panel; the coarse k-means
+    quantizer always partitions in L2 (on L2-normalized vectors for
+    cosine, where it is exactly spherical k-means; for L1/Jeffreys/JS
+    the L2 partition is an approximation whose recall loss is
+    recovered by the metric-aware NN-descent refinement, knn/api.py).
+    """
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     if nlist <= 0:
@@ -145,15 +153,22 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
         nlist = max(64, int(4 * math.sqrt(n)))
     nprobe = min(nprobe, nlist)
 
-    # fit quantizer on a subsample, assign everyone
+    # fit quantizer on a subsample, assign everyone.  The quantizer
+    # space is L2: for cosine, partition the L2-normalized vectors
+    # (spherical k-means — exact for the cosine topology)
+    if distance == "DistCosine":
+        xq = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    else:
+        xq = x
     if n > sample_size:
         key = jax.random.PRNGKey(seed + 1)
-        sub = x[jax.random.choice(key, n, (sample_size,), replace=False)]
+        sub = xq[jax.random.choice(key, n, (sample_size,), replace=False)]
     else:
-        sub = x
+        sub = xq
     centroids, _ = kmeans_fit(sub, nlist, n_iter=kmeans_iter, seed=seed)
     from .kmeans import assign_to_centroids
-    cells = np.asarray(assign_to_centroids(x, centroids))
+    cells = np.asarray(assign_to_centroids(xq, centroids))
 
     # bounded tables: cap at 4x the average cell size
     cap = max(k + 1, int(4 * n / nlist) + 1)
@@ -185,7 +200,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                      constant_values=n)
         vp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
         it, dt = _ivf_join(x_pad, vt, vp, cand_table, cell_nbrs, k,
-                           nprobe, dtype)
+                           nprobe, dtype, distance)
         idx_parts.append(it[:s1 - s0])
         dist_parts.append(dt[:s1 - s0])
     idx_t = jnp.concatenate(idx_parts)

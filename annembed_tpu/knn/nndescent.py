@@ -45,9 +45,11 @@ def _reverse_table(indices: jnp.ndarray, capacity: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows",
-                                             "rev_capacity"))
+                                             "rev_capacity", "distance"))
 def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
-                     rev_capacity: int):
+                     rev_capacity: int, distance: str = "DistL2"):
+    from .distances import get_pair_fn
+    pair_fn = get_pair_fn(distance)
     n = indices.shape[0]
     d = x_pad.shape[1]
     rev = _reverse_table(indices, rev_capacity)            # (n, rc)
@@ -71,12 +73,11 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
         cand = union_pp[uni].reshape(uni.shape[0], -1)  # (b, (k+rc)^2)
         q = x_pad[rid]                                            # (b, d)
         xc = x_pad[cand]                                          # (b, C, d)
-        d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
+        cd = pair_fn(q[:, None, :], xc)
         invalid = (cand >= n) | (cand == rid[:, None])
         # exclude already-known neighbours (avoid duplicates in merge)
         known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
-        d2 = jnp.where(invalid | known, jnp.inf, d2)
-        cd = jnp.sqrt(jnp.maximum(d2, 0.0))
+        cd = jnp.where(invalid | known, jnp.inf, cd)
         all_d = jnp.concatenate([cur_dist, cd], axis=1)
         all_i = jnp.concatenate([cur_idx, cand], axis=1)
         neg_d, pos = jax.lax.top_k(-all_d, k)
@@ -100,9 +101,13 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
 _ROWS_PER_PROGRAM = 200_000
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "block_rows",
+                                             "distance"))
 def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
-                    rid_slab, k: int, block_rows: int):
+                    rid_slab, k: int, block_rows: int,
+                    distance: str = "DistL2"):
+    from .distances import get_pair_fn
+    pair_fn = get_pair_fn(distance)
     """One bounded slab of the local join (rows of one chunk)."""
     n = x_pad.shape[0] - 1
     rows = idx_slab.shape[0]
@@ -118,11 +123,10 @@ def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
         cand = union_pp[uni].reshape(uni.shape[0], -1)
         q = x_pad[rid]
         xc = x_pad[cand]
-        d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)
+        cd = pair_fn(q[:, None, :], xc)
         invalid = (cand >= n) | (cand == rid[:, None])
         known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
-        d2 = jnp.where(invalid | known, jnp.inf, d2)
-        cd = jnp.sqrt(jnp.maximum(d2, 0.0))
+        cd = jnp.where(invalid | known, jnp.inf, cd)
         all_d = jnp.concatenate([cur_dist, cd], axis=1)
         all_i = jnp.concatenate([cur_idx, cand], axis=1)
         neg_d, pos = jax.lax.top_k(-all_d, k)
@@ -139,9 +143,12 @@ def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
 
 
 def nndescent_refine(x, indices, dists, n_rounds: int = 2,
-                     block_rows: int = 512, rev_capacity: int = 0):
-    """Refine (indices, dists) in place over n_rounds.  Only L2.
-    Work is dispatched in bounded row slabs (device-program time limit)."""
+                     block_rows: int = 512, rev_capacity: int = 0,
+                     distance: str = "DistL2"):
+    """Refine (indices, dists) in place over n_rounds, in any of the
+    five reference metrics (candidate scoring uses the metric's own
+    pair form).  Work is dispatched in bounded row slabs
+    (device-program time limit)."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     k = indices.shape[1]
@@ -155,7 +162,8 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
     if n <= slab:
         for _ in range(n_rounds):
             indices, dists = _nndescent_round(x_pad, indices, dists, k,
-                                              block_rows, rev_capacity)
+                                              block_rows, rev_capacity,
+                                              distance)
         return indices, dists
     ids = jnp.arange(n, dtype=jnp.int32)
     for _ in range(n_rounds):
@@ -175,7 +183,7 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                 jnp.pad(union[s0:s1], ((0, sl_pad), (0, 0)),
                         constant_values=n),
                 jnp.pad(ids[s0:s1], (0, sl_pad), constant_values=n),
-                k, block_rows)
+                k, block_rows, distance)
             new_i.append(ni[:s1 - s0])
             new_d.append(nd[:s1 - s0])
         indices = jnp.concatenate(new_i)

@@ -109,3 +109,31 @@ def test_ivf_unbalanced_lowdim(rng):
     exact_idx, _ = knn_graph_brute(x, k=10)
     rec = recall_at_k(idx, exact_idx)
     assert rec > 0.8, rec
+
+
+def test_ivf_all_metrics_recall(rng):
+    """IVF + metric-aware NN-descent serves all five reference metrics
+    (bin/embed.rs:546-565); recall vs the exact brute graph in the SAME
+    metric must be high on clustered data."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.knn.nndescent import nndescent_refine
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.knn.api import recall_at_k
+    n, k = 1500, 6
+    centers = rng.normal(size=(12, 10)) * 3
+    x = (centers[rng.integers(0, 12, n)]
+         + 0.4 * rng.normal(size=(n, 10))).astype(np.float32)
+    x_prob = np.abs(x) + 0.05
+    x_prob /= x_prob.sum(1, keepdims=True)
+    for metric in ("DistL2", "DistCosine", "DistL1", "DistJeffreys",
+                   "DistJensenShannon"):
+        data = x_prob if metric in ("DistJeffreys",
+                                    "DistJensenShannon") else x
+        ei, _ = knn_graph_brute(data, k, distance=metric)
+        ai, ad = knn_graph_ivf(data, k, distance=metric, nprobe=8,
+                               nlist=32)
+        ai, ad = nndescent_refine(data, ai, ad, n_rounds=2,
+                                  distance=metric)
+        r = recall_at_k(ai, ei)
+        assert r > 0.9, (metric, r)
+        assert np.all(np.asarray(ad) >= 0)
