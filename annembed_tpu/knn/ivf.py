@@ -126,7 +126,18 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
         dist = jnp.where(invalid, jnp.inf, dist)
         neg_d, pos = jax.lax.top_k(-dist, k)
         idx = cand[pos]                           # (cap, k)
-        return idx.astype(jnp.int32), -neg_d
+        out_d = -neg_d
+        if distance == "DistL2":
+            # exact rerank of the selected values: the matmul panel
+            # ||q||^2+||x||^2-2qx cancels catastrophically for tiny
+            # distances (f32 noise ~1e-5 at coordinate magnitude ~10),
+            # which zeroed small kNN radii on embedded 2-D clouds and
+            # exploded the quality estimator's ratios
+            xc_sel = x_pad[idx]                   # (cap, k, d)
+            d_ex = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(
+                q[:, None, :] - xc_sel), -1), 0.0))
+            out_d = jnp.where(jnp.isinf(out_d), jnp.inf, d_ex)
+        return idx.astype(jnp.int32), out_d
 
     return jax.lax.map(one_row, (virt_table, virt_parent))
 

@@ -284,29 +284,240 @@ def shard_edge_set(es: EdgeSet, mesh: Mesh):
             jax.device_put(es.embedded_scale, rep))
 
 
-def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
-                           nb_grad_batch: int | None = None):
-    """Multi-step data-parallel dense optimization: scan of the sharded
-    dense step with the reference's step decay.  The embedding stays
-    replicated; one psum per sweep rides ICI.
+def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
+                               n_neg: int, nb_grad_batch: int,
+                               n_groups: int, grad_step_init: float,
+                               f_min: float, mask_p: float,
+                               seg_steps: int):
+    """One jitted multi-sweep segment of the PRODUCTION dense schedule,
+    row-sharded over the mesh.
 
-    (Demonstration-scale driver for the dryrun/virtual mesh; the
-    single-chip path in optim/dense.py is the tuned production route
-    while only one real chip is available.)"""
-    from ..optim.ce import NB_NEGATIVE
+    The exact optim/dense.py formulation — column-grouped scatter-free
+    attraction (closure floor + bernoulli edge masks) and the rolled
+    identity-pool repulsion with sequential kicks — runs per row shard
+    under ``lax.scan`` inside ONE program; each half-sweep the updated
+    row blocks ride ICI with one ``all_gather`` (the embedding is
+    replicated, (n, dim) floats: tiny next to the sweep compute).  The
+    per-shard negative pool is a CONTIGUOUS window of the rolled
+    replicated embedding (positions [r0*n_neg, (r0+m)*n_neg) mod n), so
+    repulsion stays gather-free on every device."""
+    from ..optim.dense import (_attraction_sweep_scatter_free,
+                               _repulsion_sweep_rolled)
+
+    def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
+              neg_weight, keys, step0):
+        n, dim = y0.shape
+        m_rows, k = indices.shape
+        kg = k // n_groups
+        dev = jax.lax.axis_index("data")
+        r0 = dev * m_rows
+
+        groups = [dict(idx=indices[:, c * kg:(c + 1) * kg],
+                       w=w[:, c * kg:(c + 1) * kg],
+                       m=m_visit[:, c * kg:(c + 1) * kg],
+                       w_rev=w_rev[:, c * kg:(c + 1) * kg],
+                       m_rev=m_rev[:, c * kg:(c + 1) * kg])
+                  for c in range(n_groups)]
+
+        def make_branch(c):
+            gd = groups[c]
+
+            def branch(y, gamma, mask):
+                yi = jax.lax.dynamic_slice(y, (r0, 0), (m_rows, dim))
+                scale_i = jax.lax.dynamic_slice(emb_scale, (r0,),
+                                                (m_rows,))
+                yj = y[gd["idx"]]
+                scale_j = emb_scale[gd["idx"]]
+                d2 = jnp.sum(jnp.square(yi[:, None, :] - yj), -1)
+                from ..optim.dense import _clipped_alpha
+                a_f = _clipped_alpha(d2 / jnp.square(scale_i[:, None]),
+                                     scale_i[:, None], gd["w"], gamma, b)
+                a_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j,
+                                     gd["w_rev"], gamma, b)
+                m_eff = gd["m"] if mask is None \
+                    else gd["m"] * mask * (1.0 / mask_p)
+                f_pair = jnp.exp(
+                    m_eff * jnp.log(jnp.clip(1.0 - 2.0 * a_f, 1e-3, 1.05))
+                    + gd["m_rev"] * jnp.log(jnp.clip(1.0 - 2.0 * a_r,
+                                                     1e-3, 1.05)))
+                f_pair = jnp.maximum(f_pair, f_min)
+                c_pair = jnp.where(gd["w_rev"] > 0.0, 0.5, 1.0)
+                net = c_pair * (1.0 - f_pair)
+                return yi + jnp.sum((yj - yi[:, None, :])
+                                    * net[:, :, None], axis=1)
+
+            return branch
+
+        branches = [make_branch(c) for c in range(n_groups)]
+
+        def gather_rows(rows):
+            return jax.lax.all_gather(rows, "data", axis=0,
+                                      tiled=True)
+
+        def body(y, args):
+            local_idx, kk = args
+            step_idx = step0 + local_idx
+            batch_idx = step_idx // n_sub + 1
+            gamma = jnp.maximum(
+                grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                                  / nb_grad_batch), 0.0)
+            if mask_p < 1.0:
+                kk, k_mask = jax.random.split(kk)
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(k_mask, dev), mask_p,
+                    (m_rows, kg)).astype(jnp.float32)
+            else:
+                mask = None
+            rows = jax.lax.switch(step_idx % n_groups, branches, y,
+                                  gamma, mask)
+            y = gather_rows(rows)
+
+            # repulsion: contiguous pool window of the rolled embedding
+            offset = jax.random.randint(kk, (), 0, n)
+            y_rolled = jnp.roll(y, -offset * n_neg, axis=0)
+            copies = -(-m_rows * n_neg // n) + 1
+            ycat = jnp.concatenate([y_rolled] * copies, axis=0)
+            start = (r0 * n_neg) % n
+            yk = jax.lax.dynamic_slice(
+                ycat, (start, 0), (m_rows * n_neg, dim)
+            ).reshape(m_rows, n_neg, dim)
+            pos0 = r0 * n_neg + offset * n_neg
+            neg_ids = (pos0 + jax.lax.broadcasted_iota(
+                jnp.int32, (m_rows, n_neg), 0) * n_neg
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (m_rows, n_neg), 1)) % n
+            gids = r0 + jnp.arange(m_rows, dtype=jnp.int32)
+            reject = (neg_ids == gids[:, None]) \
+                | (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
+            nw_rolled = jnp.roll(neg_weight, -offset * n_neg)
+            nwcat = jnp.concatenate([nw_rolled] * copies)
+            nw = jax.lax.dynamic_slice(
+                nwcat, (start,), (m_rows * n_neg,)
+            ).reshape(m_rows, n_neg)
+
+            yi = jax.lax.dynamic_slice(y, (r0, 0), (m_rows, dim))
+            scale_i = jax.lax.dynamic_slice(emb_scale, (r0,), (m_rows,))
+            scale = scale_i[:, None]
+            from ..optim.ce import _common_coeff
+            for t in range(n_neg):
+                yk_t = yk[:, t, :]
+                d2s = jnp.sum(jnp.square(yi - yk_t), -1,
+                              keepdims=True) / jnp.square(scale)
+                coeff = _common_coeff(d2s, scale, b)
+                rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+                coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+                coeff_ik = coeff_ik * nw[:, t:t + 1]
+                ok = (d2s > 0.0) & jnp.logical_not(reject[:, t:t + 1])
+                coeff_ik = jnp.where(ok, coeff_ik, 0.0)
+                yi = yi + (yi - yk_t) * coeff_ik
+            return gather_rows(yi), None
+
+        # the carry becomes device-varying after the first all_gather;
+        # mark the (replicated) initial value accordingly
+        y_init = jax.lax.pcast(y0.astype(jnp.float32), ("data",),
+                               to="varying") \
+            if hasattr(jax.lax, "pcast") else y0.astype(jnp.float32)
+        y, _ = jax.lax.scan(
+            body, y_init,
+            (jnp.arange(seg_steps, dtype=jnp.int32), keys))
+        return y
+
+    # check_vma=False: the output IS replicated (every device holds the
+    # full embedding after the final all_gather), but the varying-axes
+    # checker cannot infer replication through all_gather(tiled)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data", None), P("data", None),
+                  P("data", None), P("data", None), P(), P(), P(), P()),
+        out_specs=P(), check_rep=False)
+    return jax.jit(fn)
+
+
+def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
+                           nb_grad_batch: int | None = None,
+                           neg_weights=None):
+    """Multi-device dense optimization with the REAL single-chip
+    schedule (optim/dense.py::run_dense_optimization semantics):
+    relabel-once global permutation, column groups, per-visit
+    multiplicities, closure floor + edge masks, hubness importance
+    weights — row-sharded over the mesh, sweeps scanned inside bounded
+    jitted segments (one compile, few dispatches).
+
+    Ragged n is padded to a multiple of the mesh size with inert rows
+    (zero edge weight/multiplicity); the output drops them."""
+    import numpy as _np
+    from ..optim.dense import (reverse_edge_info, _segment_cap,
+                               _auto_groups)
+    from ..optim.ce import NB_NEGATIVE, embedded_scales_from_initial
 
     p = params
+    n, k = g.indices.shape
+    ndev = mesh.devices.size
+    n_groups = _auto_groups(k)
     nb = nb_grad_batch or p.nb_grad_batch
-    n_sub = max(1, p.n_sub // 6)  # coarser demo schedule
-    n_neg = max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge
-                         * g.nbng / p.n_sub))
-    inputs = shard_dense_inputs(g, npar, p, mesh)
-    step = make_sharded_dense_step(mesh, b=float(p.b), n_neg=n_neg)
-    y = jnp.asarray(y0, jnp.float32)
+    n_sub = p.n_sub
+    n_neg = max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge * k / n_sub))
+
     key = jax.random.PRNGKey(p.seed)
-    for b_i in range(1, nb + 1):
-        gamma = jnp.float32(p.grad_step * (1.0 - b_i / nb))
-        for s in range(n_sub):
-            key, kk = jax.random.split(key)
-            y = step(y, kk, *inputs, gamma)
-    return y
+    key, k_relabel = jax.random.split(key)
+    relabel = jax.random.permutation(k_relabel, n)
+    inv = jnp.argsort(relabel)
+    indices_r = inv[g.indices[relabel]].astype(jnp.int32)
+    w = npar.probas.astype(jnp.float32)[relabel]
+    emb_scale = embedded_scales_from_initial(npar.scale)[relabel]
+    y0_r = jnp.asarray(y0, jnp.float32)[relabel]
+
+    m_visit = p.nb_sampling_by_edge * k * w * n_groups / n_sub
+    w_rev, _ = reverse_edge_info(indices_r, w)
+    m_rev = p.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
+
+    neg_weight = None
+    if neg_weights is not None:
+        nw = jnp.asarray(neg_weights, jnp.float32)[relabel]
+        nw = nw / jnp.maximum(jnp.mean(nw), 1e-30)
+        neg_weight = jnp.clip(nw, 0.25, 4.0)
+
+    # pad to a multiple of the mesh size with inert rows
+    pad = (-n) % ndev
+    if pad:
+        key, k_pad = jax.random.split(key)
+        y_pad = jax.random.uniform(k_pad, (pad, y0_r.shape[1]),
+                                   jnp.float32, -5.0, 5.0)
+        y0_r = jnp.concatenate([y0_r, y_pad])
+        pad_idx = jnp.tile(jnp.arange(n, n + pad,
+                                      dtype=jnp.int32)[:, None], (1, k))
+        indices_r = jnp.concatenate([indices_r, pad_idx])
+        zeros = jnp.zeros((pad, k), jnp.float32)
+        w = jnp.concatenate([w, zeros])
+        m_visit = jnp.concatenate([m_visit, zeros])
+        w_rev = jnp.concatenate([w_rev, zeros])
+        m_rev = jnp.concatenate([m_rev, zeros])
+        emb_scale = jnp.concatenate([emb_scale, jnp.ones((pad,),
+                                                         jnp.float32)])
+        if neg_weight is not None:
+            neg_weight = jnp.concatenate(
+                [neg_weight, jnp.ones((pad,), jnp.float32)])
+
+    total_steps = nb * n_sub
+    seg = min(total_steps, _segment_cap(y0_r.shape[0], n_groups))
+    n_segs = -(-total_steps // seg)
+
+    sh2 = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(indices_r, sh2), jax.device_put(w, sh2),
+            jax.device_put(m_visit, sh2), jax.device_put(w_rev, sh2),
+            jax.device_put(m_rev, sh2), jax.device_put(emb_scale, rep),
+            jax.device_put(jnp.ones((y0_r.shape[0],), jnp.float32)
+                           if neg_weight is None else neg_weight, rep))
+
+    step_fn = make_sharded_dense_segment(
+        mesh, b=float(p.b), n_sub=n_sub, n_neg=n_neg, nb_grad_batch=nb,
+        n_groups=n_groups, grad_step_init=float(p.grad_step),
+        f_min=float(p.dense_f_min), mask_p=float(p.dense_mask_p),
+        seg_steps=seg)
+    y = jax.device_put(y0_r, rep)
+    seg_keys = jax.random.split(key, n_segs)
+    for si in range(n_segs):
+        keys = jax.random.split(seg_keys[si], seg)
+        y = step_fn(y, *args, keys, jnp.int32(si * seg))
+    return y[:n][inv]

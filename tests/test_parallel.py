@@ -103,10 +103,25 @@ def test_sharded_dense_optimize_separates(rng, mesh):
     g = KGraph(indices=idx, dists=dist)
     npar = to_proba_edges(g)
     y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
-    y = np.asarray(sharded_dense_optimize(
-        y0, g, npar, EmbedderParams(nb_grad_batch=8), mesh))
+    p = EmbedderParams(nb_grad_batch=8)
+    y = np.asarray(sharded_dense_optimize(y0, g, npar, p, mesh))
     assert np.isfinite(y).all()
     mus = np.stack([y[labels == i].mean(0) for i in range(2)])
     d_to = np.linalg.norm(y[:, None] - mus[None], axis=-1)
     acc = (d_to.argmin(1) == labels).mean()
     assert acc > 0.9, acc
+    # quality parity with the single-device schedule: same fixture,
+    # same params -> final CE within 10%
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    y1, _ = run_dense_optimization(y0, g, npar, p)
+    ce_sharded = float(ce_value_dense(jnp.asarray(y), g, npar.probas,
+                                      npar.scale, 1.0))
+    ce_single = float(ce_value_dense(y1, g, npar.probas, npar.scale, 1.0))
+    assert ce_sharded < ce_single * 1.1, (ce_sharded, ce_single)
+    # ragged n: 250 is not a multiple of 8 -> inert-row padding path
+    y2 = np.asarray(sharded_dense_optimize(y0[:250], KGraph(
+        indices=jnp.clip(g.indices[:250], 0, 249), dists=g.dists[:250]),
+        to_proba_edges(KGraph(indices=jnp.clip(g.indices[:250], 0, 249),
+                              dists=g.dists[:250])), p, mesh))
+    assert y2.shape == (250, 2) and np.isfinite(y2).all()
