@@ -108,11 +108,35 @@ def main():
     # sanity: embedding finite and clusters separated
     assert np.isfinite(np.asarray(y)).all()
 
+    # quality/recall regression fields (not timed):
+    #  * recall@KNBN of the graph build vs exact on a subsample
+    #  * neighborhood conservation at nbng=50 (the reference's own
+    #    metric, embedder.rs:620; round-1 operating point was
+    #    no_match 18178 / matched 2.61 / ratio 1.52 — regressions
+    #    in BENCH_r*.json are now visible to the driver)
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.knn.brute import knn_graph_brute, knn_search_brute
+    from annembed_tpu.knn.api import recall_at_k
+    from annembed_tpu.estimators.quality import quality_estimate
+    idx, dist = knn_graph_brute(x, KNBN, block_rows=2048)
+    sub = np.linspace(0, N - 1, 2000).astype(np.int32)
+    ei, _ = knn_search_brute(x[sub], x, k=KNBN + 1)
+    # drop the self column of the search result
+    not_self = np.asarray(ei) != sub[:, None]
+    exact = np.stack([row[m][:KNBN] for row, m in
+                      zip(np.asarray(ei), not_self)])
+    recall = recall_at_k(np.asarray(idx)[sub], exact)
+    q = quality_estimate(KGraph(indices=idx, dists=dist), y, nbng=50)
+
     print(json.dumps({
         "metric": "mnist70k_e2e_wall_s",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_WALL_S / wall, 2),
+        "recall": round(recall, 4),
+        "no_match": int(q.nb_without_match),
+        "mean_matched": round(q.mean_nb_matched, 3),
+        "median_ratio": round(q.median_ratio, 3),
     }))
 
 
