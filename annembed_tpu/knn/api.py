@@ -29,7 +29,15 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
                                     dtype=params.dtype)
     else:
         from .ivf import knn_graph_ivf
-        idx, dist = knn_graph_ivf(x, knbn, distance=distance,
+        # enlarged build-k: construct and refine at build_k_factor * k,
+        # truncate to k at the end.  Wider neighbour lists make each
+        # NN-descent round propagate much further (the candidate set is
+        # B(B(i))), so recall@k rises faster per round than refining at
+        # k itself — the "refine at 2k, truncate" recipe.
+        kb = knbn
+        if params.refine_rounds > 0 and params.build_k_factor > 1.0:
+            kb = max(knbn + 1, int(round(knbn * params.build_k_factor)))
+        idx, dist = knn_graph_ivf(x, kb, distance=distance,
                                   nlist=params.nlist, nprobe=params.nprobe,
                                   dtype=params.dtype)
         if params.refine_rounds > 0:
@@ -37,6 +45,7 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
             idx, dist = nndescent_refine(x, idx, dist,
                                          n_rounds=params.refine_rounds,
                                          distance=distance)
+        idx, dist = idx[:, :knbn], dist[:, :knbn]
     return KGraph(indices=idx, dists=dist)
 
 

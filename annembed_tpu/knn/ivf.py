@@ -137,6 +137,11 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
             d_ex = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(
                 q[:, None, :] - xc_sel), -1), 0.0))
             out_d = jnp.where(jnp.isinf(out_d), jnp.inf, d_ex)
+            # exact values can reorder panel near-ties: restore the
+            # ascending-distance invariant
+            order = jnp.argsort(out_d, axis=1)
+            out_d = jnp.take_along_axis(out_d, order, axis=1)
+            idx = jnp.take_along_axis(idx, order, axis=1)
         return idx.astype(jnp.int32), out_d
 
     return jax.lax.map(one_row, (virt_table, virt_parent))
