@@ -27,6 +27,21 @@ logger = logging.getLogger(__name__)
 ArrayLike = Union[str, np.ndarray]
 
 
+def _finalize_info(info: dict) -> dict:
+    """Convert any device scalars left in an info dict to Python floats
+    (the pipeline keeps CE values etc. on device until this final
+    sync; see optim/embedder.py)."""
+    out = {}
+    for key, v in info.items():
+        if hasattr(v, "block_until_ready") and getattr(v, "ndim", None) == 0:
+            out[key] = float(v)
+        elif isinstance(v, dict):
+            out[key] = _finalize_info(v)
+        else:
+            out[key] = v
+    return out
+
+
 def _load(data: ArrayLike, delim: str, subsample: float) -> np.ndarray:
     if isinstance(data, (str, bytes)) or hasattr(data, "__fspath__"):
         return get_toembed_from_csv(data, delimiter=delim,
@@ -75,15 +90,27 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             logger.info("loaded kNN graph checkpoint from %s", graph_cache)
         else:
             g = build_kgraph(x, nbng, distance=distance, params=knn_params)
-            if graph_cache:
-                from .io.checkpoint import save_kgraph
-                save_kgraph(graph_cache, g)
         emb = Embedder.new(g, params)
-    y = np.asarray(emb.embed())
-    info = dict(emb.info)
-    info["total_time"] = time.perf_counter() - t0
+    # ORDER MATTERS: every device phase (embed, then the quality
+    # estimator's second kNN build) runs before the first device->host
+    # readback — a readback permanently degrades all later dispatches
+    # on remote-dispatch runtimes (one sync point at the end).
+    y_dev = emb.embed()
+    q = None
     if with_quality:
         q = emb.get_quality_estimate_from_edge_length()
+    y = np.asarray(y_dev)
+    info = _finalize_info(emb.info)
+    info["total_time"] = time.perf_counter() - t0
+    if layer <= 0 and graph_cache:
+        import os
+        if not os.path.exists(graph_cache):
+            # written after the final sync (not right after the build):
+            # the np conversion inside is a device->host readback, and
+            # an early readback would degrade the whole optimize phase
+            from .io.checkpoint import save_kgraph
+            save_kgraph(graph_cache, emb.get_kgraph())
+    if q is not None:
         info["quality"] = q.summary()
         if outfile:
             # per-node diagnostic dumps next to the embedding

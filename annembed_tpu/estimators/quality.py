@@ -21,6 +21,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.kgraph import KGraph
 from ..knn.api import build_kgraph
@@ -96,26 +97,42 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     safe_r = jnp.maximum(radius, 1e-30)[:, None]
     matched = lengths <= radius[:, None]                    # (n, k)
     nodes_matched = matched.sum(axis=1)                     # (n,)
-    nb_without = int((nodes_matched == 0).sum())
-    nb_with = max(n - nb_without, 1)
-    mean_matched = float(nodes_matched.sum() / nb_with)
 
     ratios = lengths / safe_r                               # (n, k)
     ratio_flat = ratios.reshape(-1)
     qs = jnp.array(_QS)
-    ratio_q = {f"q{q:g}": float(v) for q, v in
-               zip(_QS, jnp.quantile(ratio_flat, qs).tolist())}
+
+    # ONE batched device->host readback of every scalar at the end
+    # (each individual readback costs a round trip on remote-dispatch
+    # runtimes, and the FIRST one in a process is extremely expensive —
+    # so never interleave conversions with device work)
+    scalars = jnp.concatenate([
+        jnp.stack([(nodes_matched == 0).sum().astype(jnp.float32),
+                   nodes_matched.sum().astype(jnp.float32),
+                   ratio_flat.mean()]),
+        jnp.quantile(ratio_flat, qs),
+        jnp.quantile(radius, qs),
+    ])
+    ratio_by_node = ratios.mean(axis=1)
+    first_dist = lengths.min(axis=1)
+    vals = np.asarray(scalars)
+
+    nb_without = int(vals[0])
+    nb_with = max(n - nb_without, 1)
+    mean_matched = float(vals[1] / nb_with)
+    nq = len(_QS)
+    ratio_q = {f"q{q:g}": float(v) for q, v in zip(_QS, vals[3:3 + nq])}
     radii_q = {f"q{q:g}": float(v) for q, v in
-               zip(_QS, jnp.quantile(radius, qs).tolist())}
+               zip(_QS, vals[3 + nq:3 + 2 * nq])}
 
     est = QualityEstimate(
         nb_nodes=n, nbng_used=k, nbng_target=nbng,
         nb_without_match=nb_without, mean_nb_matched=mean_matched,
-        median_ratio=float(jnp.quantile(ratio_flat, 0.5)),
-        mean_ratio=float(ratio_flat.mean()),
+        median_ratio=ratio_q["q0.5"],
+        mean_ratio=float(vals[2]),
         radii_quantiles=radii_q, ratio_quantiles=ratio_q,
-        ratio_by_node=ratios.mean(axis=1),
-        first_dist=lengths.min(axis=1))
+        ratio_by_node=ratio_by_node,
+        first_dist=first_dist)
     logger.info(
         "quality: nb_without_match=%d mean_matched=%.3f median_ratio=%.3e "
         "mean_ratio=%.3e", nb_without, mean_matched, est.median_ratio,

@@ -333,8 +333,9 @@ def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
     steps_per_batch = max(1, -(-samples_per_batch // batch_size))
     info = {}
     if compute_ce:
-        info["initial_ce"] = float(ce_value(y0, es, b=params.b))
-        logger.info("initial cross entropy %.4e", info["initial_ce"])
+        # device scalar, NOT float(): a readback here permanently
+        # degrades later dispatches on remote-dispatch runtimes
+        info["initial_ce"] = ce_value(y0, es, b=params.b)
     key = jax.random.PRNGKey(params.seed)
     y = optimize(y0.astype(jnp.float32), es, key,
                  grad_step_init=float(params.grad_step), b=float(params.b),
@@ -342,8 +343,7 @@ def run_entropy_optimization(y0: jnp.ndarray, es: EdgeSet,
                  nb_grad_batch=int(params.nb_grad_batch),
                  collision_mode=params.collision_mode)
     if compute_ce:
-        info["final_ce"] = float(ce_value(y, es, b=params.b))
-        logger.info("final cross entropy %.4e", info["final_ce"])
+        info["final_ce"] = ce_value(y, es, b=params.b)
     info["batch_size"] = batch_size
     info["steps_per_batch"] = steps_per_batch
     return y, info

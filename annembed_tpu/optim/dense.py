@@ -248,6 +248,71 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
     return yi - y
 
 
+def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
+                          scale_iT, scale_jT, gamma, b: float,
+                          f_min: float = 1e-3, mask=None,
+                          mask_p: float = 1.0):
+    """Transposed (feature-minor) scatter-free attraction.
+
+    Same math as ``_attraction_sweep_scatter_free`` but every array is
+    laid out with n LAST: yT (d, n), idxT/wT/mT/w_revT/m_revT/scale_jT
+    (kg, n), scale_iT (1, n).  On TPU the last two dims tile to
+    (8, 128): with n last every elementwise op runs on full lanes,
+    whereas the row-major (n, kg)/(n, kg, d) forms pad kg->128 and
+    d->128 (measured 2-3x on the sweep).  ``scale_jT`` is the
+    PRE-GATHERED emb_scale[idx] (indices are static across sweeps, so
+    the gather happens once at build, not every sweep)."""
+    yj = yT[:, idxT]                                   # (d, kg, n)
+    diff = yj - yT[:, None, :]
+    d2 = jnp.sum(jnp.square(diff), 0)                  # (kg, n)
+    alpha_f = _clipped_alpha(d2 / jnp.square(scale_iT), scale_iT, wT,
+                             gamma, b)
+    alpha_r = _clipped_alpha(d2 / jnp.square(scale_jT), scale_jT,
+                             w_revT, gamma, b)
+    m_eff = mT if mask is None else mT * mask * (1.0 / mask_p)
+    f_pair = jnp.exp(
+        m_eff * jnp.log(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05))
+        + m_revT * jnp.log(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05)))
+    f_pair = jnp.maximum(f_pair, f_min)
+    c = jnp.where(w_revT > 0.0, 0.5, 1.0)
+    net = c * (1.0 - f_pair)                           # (kg, n)
+    return jnp.sum(diff * net[None, :, :], axis=1)     # (d, n)
+
+
+def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
+                             b: float, n_neg: int, neg_weight=None):
+    """Transposed identity-pool repulsion: kick ``t`` pairs position i
+    with position (i + offset + t*(n//n_neg)) mod n — a pure roll of
+    the coordinate block along the n axis, zero gathers and zero
+    lane-padded intermediates (the row-major stride trick
+    tile+reshape(n, n_neg, d) needs a real transpose in this layout).
+    Positions are a global random relabeling of the nodes, so each
+    kick's partner is a uniformly random node, exactly like the strided
+    pool of ``_repulsion_sweep_rolled``; only the traversal order
+    differs.  Kicks stay SEQUENTIAL (embedder.rs:1244-1299) against the
+    pre-sweep snapshot."""
+    d, n = yT.shape
+    pos = jnp.arange(n, dtype=jnp.int32)
+    stride = max(1, n // n_neg)
+    yi = yT
+    for t in range(n_neg):
+        s_t = (offset + t * stride) % n
+        yk_t = jnp.roll(yT, -s_t, axis=1)              # snapshot roll
+        nid = (pos + s_t) % n
+        reject = (nid == pos) | (nid[None, :] == idxT).any(0)
+        d2s = jnp.sum(jnp.square(yi - yk_t), 0,
+                      keepdims=True) / jnp.square(emb_scaleT)
+        coeff = _common_coeff(d2s, emb_scaleT, b)
+        rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+        coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+        if neg_weight is not None:
+            coeff_ik = coeff_ik * jnp.roll(neg_weight, -s_t)[None, :]
+        ok = (d2s > 0.0) & jnp.logical_not(reject)[None, :]
+        coeff_ik = jnp.where(ok, coeff_ik, 0.0)
+        yi = yi + (yi - yk_t) * coeff_ik
+    return yi - yT
+
+
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
     """Reverse-edge weight and column: for edge l of node i with
     j = indices[i, l], w_rev[i, l] = w[j -> i] (0 if j does not list i)
@@ -302,6 +367,66 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     # look one-sided (full closure from both sides in alternating
     # sweeps -> position swapping -> runaway drift of tight cliques,
     # observed as |coord| ~ 1e2-1e3 "flying piles" at 80k+).
+    keys = jax.random.split(key, seg_steps)
+
+    def gamma_of(step_idx):
+        batch_idx = step_idx // n_sub + 1
+        return jnp.maximum(
+            grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
+                              / nb_grad_batch), 0.0)
+
+    if scatter_free:
+        # PRODUCTION path, transposed layout: all per-edge arrays with
+        # n LAST so TPU (8, 128) tiling runs on full lanes; neighbour
+        # scales pre-gathered once (indices are static across sweeps)
+        idxT_full = indices.T                           # (k, n)
+        scale_iT = emb_scale[None, :]                   # (1, n)
+        groupsT = []
+        for c in range(n_groups):
+            sl = slice(c * kg, (c + 1) * kg)
+            idx_g = indices[:, sl]
+            groupsT.append(dict(
+                idxT=idx_g.T, wT=w[:, sl].T, mT=m_visit[:, sl].T,
+                w_revT=w_rev[:, sl].T, m_revT=m_rev_visit[:, sl].T,
+                scale_jT=emb_scale[idx_g].T))
+
+        def make_branch_t(c):
+            gd = groupsT[c]
+
+            def branch(yT, gamma, mask):
+                return yT + _attraction_sweep_sfT(
+                    yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
+                    gd["m_revT"], scale_iT, gd["scale_jT"], gamma, b,
+                    f_min=f_min, mask=mask, mask_p=mask_p)
+
+            return branch
+
+        branches_t = [make_branch_t(c) for c in range(n_groups)]
+
+        def body_t(yT, args):
+            local_idx, kk = args
+            step_idx = step0 + local_idx
+            gamma = gamma_of(step_idx)
+            if mask_p < 1.0:
+                kk, k_mask = jax.random.split(kk)
+                mask = jax.random.bernoulli(k_mask, mask_p,
+                                            (kg, n)).astype(jnp.float32)
+            else:
+                mask = None
+            yT = jax.lax.switch(step_idx % n_groups, branches_t, yT,
+                                gamma, mask)
+            offset = jax.random.randint(kk, (), 0, n)
+            yT = yT + _repulsion_sweep_rolledT(yT, offset, idxT_full,
+                                               scale_iT, gamma, b, n_neg,
+                                               neg_weight=neg_weight)
+            return yT, None
+
+        yT, _ = jax.lax.scan(body_t, y0.astype(jnp.float32).T,
+                             (jnp.arange(seg_steps, dtype=jnp.int32),
+                              keys))
+        return yT.T
+
+    # reference scatter path (move_other=True semantics), row-major
     groups = []
     for c in range(n_groups):
         sl = slice(c * kg, (c + 1) * kg)
@@ -317,12 +442,6 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         gd = groups[c]
 
         def branch(y, gamma, mask):
-            if scatter_free:
-                d_self = _attraction_sweep_scatter_free(
-                    y, gd["idx"], gd["w"], gd["m"], gd["w_rev"],
-                    gd["m_rev"], emb_scale, gamma, b, f_min=f_min,
-                    mask=mask, mask_p=mask_p)
-                return y + d_self
             d_self, d_rev = _attraction_sweep(
                 y, gd["idx"], gd["w"], gd["m"], gd["w_rev"], gd["m_rev"],
                 emb_scale, gamma, b, f_min=f_min, mask=mask,
@@ -336,15 +455,11 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
         return branch
 
     branches = [make_branch(c) for c in range(n_groups)]
-    keys = jax.random.split(key, seg_steps)
 
     def body(y, args):
         local_idx, kk = args
         step_idx = step0 + local_idx
-        batch_idx = step_idx // n_sub + 1
-        gamma = jnp.maximum(
-            grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
-                              / nb_grad_batch), 0.0)
+        gamma = gamma_of(step_idx)
         if mask_p < 1.0:
             kk, k_mask = jax.random.split(kk)
             mask = jax.random.bernoulli(k_mask, mask_p,
@@ -406,7 +521,11 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
 
 
 def _auto_groups(k: int) -> int:
-    for g in (4, 3, 2):
+    # 2 groups measured best on the transposed sweep: quality beats the
+    # round-1 anchor (no_match 14071 vs 18178 at 70k) while the
+    # per-sweep gather stays at k/2 columns; 3+ groups slice the edge
+    # table too thin per sync step and conservation degrades
+    for g in (2, 3, 4):
         if k % g == 0 and k // g >= 2:
             return g
     return 1

@@ -172,14 +172,19 @@ class Embedder:
                 from .ce import ce_value_dense
                 hub = (hubness_sampling_weights(g) if p.hubness_weighting
                        else None)
-                info = {"initial_ce": float(ce_value_dense(
-                    init, g, npar.probas, npar.scale, p.b))}
+                # CE values stay DEVICE scalars: float() here is a
+                # device->host readback that permanently degrades all
+                # later dispatches on remote-dispatch runtimes
+                # (measured 500x on this optimizer).  Consumers convert
+                # at the pipeline's final sync point.
+                info = {"initial_ce": ce_value_dense(
+                    init, g, npar.probas, npar.scale, p.b)}
                 y, dinfo = run_dense_optimization(init, g, npar, p,
                                                   n_sub=p.n_sub,
                                                   neg_weights=hub)
                 info.update(dinfo)
-                info["final_ce"] = float(ce_value_dense(
-                    y, g, npar.probas, npar.scale, p.b))
+                info["final_ce"] = ce_value_dense(
+                    y, g, npar.probas, npar.scale, p.b)
             else:
                 hub = (hubness_sampling_weights(g) if p.hubness_weighting
                        else None)
@@ -187,7 +192,11 @@ class Embedder:
                 y, info = run_entropy_optimization(init, es, p)
             sync.append(y)
         info["optimize_time"] = time.perf_counter() - t0
-        logger.info("entropy optimization: %s", info)
+        # log only host-native values; formatting a device scalar would
+        # be a readback (CE values are converted at the final sync)
+        logger.info("entropy optimization: %s",
+                    {k: v for k, v in info.items()
+                     if isinstance(v, (int, float, str))})
         self.info.update(info)
         return y
 

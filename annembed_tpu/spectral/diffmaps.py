@@ -159,7 +159,9 @@ class DiffusionMaps:
     params: DiffusionParams
     laplacian: Optional[GraphLaplacian] = None
     normed_scales: Optional[jnp.ndarray] = None
-    mean_scale: float = 1.0
+    #: mean local scale — a device scalar after laplacian_from_kgraph
+    #: (never read back inside the pipeline; see the note there)
+    mean_scale: object = 1.0
     q_density: Optional[jnp.ndarray] = None
 
     # -- kernel + laplacian -------------------------------------------------
@@ -175,7 +177,12 @@ class DiffusionMaps:
             g.indices, g.dists, gnbn, jnp.float32(self.params.epsil),
             jnp.float32(beta), jnp.float32(self.params.alfa),
             beta_is_neg=beta < 0.0)
-        self.mean_scale = float(mean)
+        # kept as a DEVICE scalar: a float() here is a device->host
+        # readback that (on remote-dispatch runtimes) permanently
+        # degrades every subsequent program dispatch in the process
+        # (measured 500x on the dense optimizer).  The pipeline rule is
+        # one host sync point at the very end; convert lazily there.
+        self.mean_scale = mean
         self.normed_scales = rho / mean
         self.q_density = q
         return GraphLaplacian(rows=rows, cols=cols, vals=vals,

@@ -86,6 +86,10 @@ def run_once(x, verbose=True):
     y, info = run_dense_optimization(init, g, npar, params,
                                      n_sub=params.n_sub)
     y.block_until_ready()
+    # materialize one element INSIDE the timed window: on the axon
+    # tunnel block_until_ready alone does not guarantee execution has
+    # happened for repeat dispatches — a tiny host readback does
+    _ = np.asarray(y.reshape(-1)[:1])
     t["optimize"] = time.perf_counter() - t0
     t["total"] = sum(t.values())
     if verbose:
@@ -99,6 +103,17 @@ def main():
     import jax.numpy as jnp
     x = jnp.asarray(x_np)
     print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    # HONEST-TIMING PROTOCOL for the axon tunnel: until a process has
+    # performed one device->host readback, block_until_ready does not
+    # actually wait for repeat executions (measured: a "0.03 s" run
+    # whose results then took minutes to materialize).  Pay the one-time
+    # channel setup up front so the timed run below measures real
+    # execution.
+    t0 = time.perf_counter()
+    _ = float(jnp.ones(()))
+    print(f"sync-mode entry: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     # run 1: compile + execute; run 2: steady-state timing
     _, t1 = run_once(x)
