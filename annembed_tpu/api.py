@@ -42,6 +42,16 @@ def _finalize_info(info: dict) -> dict:
     return out
 
 
+def _ensure_eager_execution():
+    """One 4-byte device->host readback.  On runtimes that defer
+    execution until the first readback (axon tunnel), a fully-lazy
+    multi-million-point pipeline accumulates every stage's buffers at
+    once and OOMs; paying the one-time sync up front makes the phases
+    execute (and free) eagerly.  Harmless elsewhere."""
+    import jax.numpy as jnp
+    _ = float(jnp.ones(()))
+
+
 def _load(data: ArrayLike, delim: str, subsample: float) -> np.ndarray:
     if isinstance(data, (str, bytes)) or hasattr(data, "__fspath__"):
         return get_toembed_from_csv(data, delimiter=delim,
@@ -63,6 +73,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     Returns (embedding (n, dim) np.ndarray, info dict).
     """
     x = _load(csv, delim, quality_sampling)
+    if x.shape[0] >= 500_000:
+        _ensure_eager_execution()
     if params is None:
         params = EmbedderParams()
     params.asked_dim = dim
@@ -141,6 +153,8 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     bin/dmapembed.rs:390-432).  With layer > 0 only the subsample graph
     is embedded (dmapembed.rs:415-422)."""
     x = _load(csv, delim, quality_sampling)
+    if x.shape[0] >= 500_000:
+        _ensure_eager_execution()
     dp = DiffusionParams(asked_dim=dim, alfa=alfa, beta=beta, t=time_param,
                          gnbn=nbng)
     if knn_params is None:
