@@ -126,16 +126,53 @@ def _search_impl(queries, corpus, k, distance, block_rows, dtype_name):
     return idx, jnp.maximum(dists, 0.0)
 
 
+@jax.jit
+def _merge_topk_sorted(d_a, i_a, d_b, i_b):
+    """Merge two ascending-(by distance) candidate sets rowwise and
+    keep the best k = d_a.shape[1]."""
+    k = d_a.shape[1]
+    all_d = jnp.concatenate([d_a, d_b], axis=1)
+    all_i = jnp.concatenate([i_a, i_b], axis=1)
+    neg_d, pos = jax.lax.top_k(-all_d, k)
+    return -neg_d, jnp.take_along_axis(all_i, pos, axis=1)
+
+
 def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
-                     block_rows: int = 1024, dtype: str = "float32"):
+                     block_rows: int = 1024, dtype: str = "float32",
+                     corpus_chunk: int = 2_000_000):
     """k nearest corpus points for each query (no self-exclusion).
 
     Replaces ``hnsw.search`` (used e.g. by the quality estimator,
     reference src/embedder.rs:527-554, and the projection step of
     src/fromhnsw/kgproj.rs:195-237).
+
+    Corpora beyond ``corpus_chunk`` rows are processed in chunks with a
+    running top-k merge: one (block_rows, n) panel at 11M rows is a
+    45 GB buffer the compiler rightly refuses.
     """
-    if k > corpus.shape[0]:
+    n = corpus.shape[0]
+    if k > n:
         raise ValueError("k larger than corpus")
     block_rows = min(block_rows, max(8, queries.shape[0]))
-    return _search_impl(jnp.asarray(queries), jnp.asarray(corpus), k,
-                        distance, block_rows, dtype)
+    queries = jnp.asarray(queries)
+    corpus = jnp.asarray(corpus)
+    if n <= corpus_chunk:
+        return _search_impl(queries, corpus, k, distance, block_rows,
+                            dtype)
+    best_d = best_i = None
+    for c0 in range(0, n, corpus_chunk):
+        c1 = min(c0 + corpus_chunk, n)
+        ci, cd = _search_impl(queries, corpus[c0:c1], min(k, c1 - c0),
+                              distance, block_rows, dtype)
+        cd.block_until_ready()       # serialize chunk workspaces
+        ci = ci + c0
+        if best_d is None:
+            best_d, best_i = cd, ci
+        else:
+            if cd.shape[1] < best_d.shape[1]:
+                pad = best_d.shape[1] - cd.shape[1]
+                cd = jnp.pad(cd, ((0, 0), (0, pad)),
+                             constant_values=jnp.inf)
+                ci = jnp.pad(ci, ((0, 0), (0, pad)))
+            best_d, best_i = _merge_topk_sorted(best_d, best_i, cd, ci)
+    return best_i, best_d

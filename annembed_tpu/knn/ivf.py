@@ -99,13 +99,21 @@ def build_ivf_tables(cells: np.ndarray, nlist: int, n: int,
     return virt_table, virt_parent, cand_table
 
 
-@functools.partial(jax.jit, static_argnames=("nlist", "cap", "v_static"))
-def _ivf_tables_impl(cells, nlist: int, cap: int, v_static: int):
+@functools.partial(jax.jit, static_argnames=("nlist", "cap", "qcap",
+                                             "v_static"))
+def _ivf_tables_impl(cells, nlist: int, cap: int, qcap: int,
+                     v_static: int):
     """Device-side equivalent of ``build_ivf_tables`` with STATIC
-    shapes: ``v_static = nlist + n // cap`` bounds the virtual-row
-    count (each cell contributes max(1, ceil(count/cap)) rows and
-    sum(count // cap) <= n // cap).  Unused trailing rows hold only the
-    pad id ``n`` and are dropped by the result scatter.
+    shapes: ``v_static = nlist + n // qcap`` bounds the virtual-row
+    count (each cell contributes max(1, ceil(count/qcap)) rows and
+    sum(count // qcap) <= n // qcap).  Unused trailing rows hold only
+    the pad id ``n`` and are dropped by the result scatter.
+
+    ``qcap`` (query rows per virtual row) is decoupled from ``cap``
+    (candidates kept per cell): the join panel is (qcap, nprobe*cap),
+    so a smaller qcap bounds panel + top-k workspace memory WITHOUT
+    dropping any candidates — at 11M points the (cap, nprobe*cap)
+    panel with qcap == cap peaked past HBM.
 
     Keeping this on device matters beyond elegance: reading the cell
     assignment back to the host (the previous numpy path) is a
@@ -127,12 +135,12 @@ def _ivf_tables_impl(cells, nlist: int, cap: int, v_static: int):
         jnp.where(keep, sorted_cells, nlist), jnp.where(keep, pos, 0)
     ].set(order32, mode="drop")
 
-    nvirt = jnp.maximum(1, -(-counts // cap))
+    nvirt = jnp.maximum(1, -(-counts // qcap))
     vstarts = jnp.concatenate([jnp.zeros((1,), nvirt.dtype),
                                jnp.cumsum(nvirt)[:-1]])
-    virt_row = (vstarts[sorted_cells] + pos // cap).astype(jnp.int32)
-    virt_table = jnp.full((v_static, cap), n, jnp.int32).at[
-        virt_row, pos % cap].set(order32, mode="drop")
+    virt_row = (vstarts[sorted_cells] + pos // qcap).astype(jnp.int32)
+    virt_table = jnp.full((v_static, qcap), n, jnp.int32).at[
+        virt_row, pos % qcap].set(order32, mode="drop")
     # parent of row r = #cells whose first row is <= r (cumsum of
     # start markers for cells 1..nlist-1)
     marks = jnp.zeros((v_static,), jnp.int32).at[
@@ -228,11 +236,13 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     from .kmeans import assign_to_centroids
     cells = assign_to_centroids(xq, centroids)   # stays on device
 
-    # bounded tables: cap at 4x the average cell size
+    # bounded tables: candidates capped at 4x the average cell size;
+    # query rows bounded separately (memory only, not recall)
     cap = max(k + 1, int(4 * n / nlist) + 1)
-    v_static = nlist + n // cap
+    qcap = min(cap, max(k + 1, 1024))
+    v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table = _ivf_tables_impl(
-        cells, nlist, cap, v_static)
+        cells, nlist, cap, qcap, v_static)
 
     # nearest cells per cell (self included first, exact panel on centroids)
     c_sq = corpus_sqnorm(centroids)
@@ -244,11 +254,15 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
 
     # dispatch the join in bounded virtual-row slabs: one device program
     # must stay in the seconds range (the runtime kills multi-minute
-    # programs); a slab costs ~rows * cap * nprobe gather-rows
+    # programs); a slab costs ~rows * cap * nprobe gather-rows.
+    # Each slab's results scatter into the (n+1, k) output IMMEDIATELY
+    # (pad id n drops into the sentinel row) — concatenating all slab
+    # outputs first would hold (V, cap, k) idx+dist at once, 5.3 GB at
+    # 11M points, the difference between fitting in HBM or not.
     v_total = virt_table.shape[0]
     rows_per_slab = max(8, 20_000_000 // max(cap * nprobe, 1))
-    idx_parts = []
-    dist_parts = []
+    idx = jnp.zeros((n + 1, k), jnp.int32)
+    dist = jnp.zeros((n + 1, k), jnp.float32)
     for s0 in range(0, v_total, rows_per_slab):
         s1 = min(s0 + rows_per_slab, v_total)
         pad_r = rows_per_slab - (s1 - s0)
@@ -257,15 +271,11 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
         vp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
         it, dt = _ivf_join(x_pad, vt, vp, cand_table, cell_nbrs, k,
                            nprobe, dtype, distance)
-        idx_parts.append(it[:s1 - s0])
-        dist_parts.append(dt[:s1 - s0])
-    idx_t = jnp.concatenate(idx_parts)
-    dist_t = jnp.concatenate(dist_parts)
-
-    # scatter row-blocked results back to point order (pad id n drops)
-    flat_members = virt_table.reshape(-1)
-    idx = jnp.zeros((n + 1, k), jnp.int32).at[flat_members].set(
-        idx_t.reshape(-1, k), mode="drop")[:n]
-    dist = jnp.zeros((n + 1, k), jnp.float32).at[flat_members].set(
-        dist_t.reshape(-1, k), mode="drop")[:n]
-    return idx, jnp.maximum(dist, 0.0)
+        members = vt.reshape(-1)
+        idx = idx.at[members].set(it.reshape(-1, k), mode="drop")
+        dist = dist.at[members].set(dt.reshape(-1, k), mode="drop")
+        # serialize slabs: without this the runtime keeps several slab
+        # joins in flight at once and their panel+top-k workspaces
+        # (~1 GB each) sum past HBM at 11M points
+        dist.block_until_ready()
+    return idx[:n], jnp.maximum(dist[:n], 0.0)

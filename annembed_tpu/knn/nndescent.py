@@ -44,6 +44,16 @@ def _reverse_table(indices: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return table[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("rev_capacity",))
+def _union_pp_impl(indices, rev_capacity: int):
+    """Padded symmetrized neighbourhood table (n+1, k+rc) in one XLA
+    program (bounded temporary memory)."""
+    n = indices.shape[0]
+    rev = _reverse_table(indices, rev_capacity)
+    return jnp.pad(jnp.concatenate([indices, rev], axis=1),
+                   ((0, 1), (0, 0)), constant_values=n)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_rows",
                                              "rev_capacity", "distance"))
 def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
@@ -167,11 +177,16 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
         return indices, dists
     ids = jnp.arange(n, dtype=jnp.int32)
     for _ in range(n_rounds):
-        rev = _reverse_table(indices, rev_capacity)
-        union = jnp.concatenate([indices, rev], axis=1)
-        union_pp = jnp.pad(union, ((0, 1), (0, 0)), constant_values=n)
-        new_i = []
-        new_d = []
+        # one padded union only (rows [:n] are the union itself) and
+        # per-slab in-place updates of preallocated outputs: at 11M the
+        # union copy + concat-accumulated slab outputs were ~2 GB of
+        # avoidable peak HBM.  The union build is ONE jitted program:
+        # run eagerly, _reverse_table's ~8 op-sized temporaries
+        # (argsort/gather chains over n*k = 132M elements) all stay
+        # live at once and OOM at 11M
+        union_pp = _union_pp_impl(indices, rev_capacity)
+        out_i = jnp.zeros((n, k), jnp.int32)
+        out_d = jnp.zeros((n, k), jnp.float32)
         for s0 in range(0, n, slab):
             s1 = min(s0 + slab, n)
             sl_pad = slab - (s1 - s0)
@@ -180,12 +195,16 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                 jnp.pad(indices[s0:s1], ((0, sl_pad), (0, 0)),
                         constant_values=n),
                 jnp.pad(dists[s0:s1], ((0, sl_pad), (0, 0))),
-                jnp.pad(union[s0:s1], ((0, sl_pad), (0, 0)),
+                jnp.pad(union_pp[s0:s1], ((0, sl_pad), (0, 0)),
                         constant_values=n),
                 jnp.pad(ids[s0:s1], (0, sl_pad), constant_values=n),
                 k, block_rows, distance)
-            new_i.append(ni[:s1 - s0])
-            new_d.append(nd[:s1 - s0])
-        indices = jnp.concatenate(new_i)
-        dists = jnp.concatenate(new_d)
+            out_i = jax.lax.dynamic_update_slice(out_i, ni[:s1 - s0],
+                                                 (s0, 0))
+            out_d = jax.lax.dynamic_update_slice(out_d, nd[:s1 - s0],
+                                                 (s0, 0))
+            # serialize slabs (bounds in-flight join workspaces; see
+            # knn/ivf.py)
+            out_d.block_until_ready()
+        indices, dists = out_i, out_d
     return indices, dists

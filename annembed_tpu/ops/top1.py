@@ -47,15 +47,38 @@ def _top1_kernel(q_ref, qsq_ref, c_ref, csq_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = best_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "tile_m",
-                                             "interpret"))
 def top1_l2(queries, corpus, block_q: int = 512, tile_m: int = 2048,
-            interpret: bool = False):
+            interpret: bool = False, slab_q: int = 2_000_000):
     """Nearest corpus row for each query: (idx (nq,) int32, dist (nq,)).
 
-    Shapes are padded to the block/tile grid; padded corpus rows are
-    masked by +inf via their squared-norm entries.
-    """
+    Queries are processed in slabs of at most ``slab_q`` rows: one
+    pallas grid over all 11M Higgs queries is ~4.6M grid steps, which
+    crashed the Mosaic compile; per-slab grids stay well inside what
+    compiles (and the slab boundary also serializes device work)."""
+    queries = jnp.asarray(queries, jnp.float32)
+    nq = queries.shape[0]
+    if nq <= slab_q:
+        return _top1_l2_impl(queries, corpus, block_q=block_q,
+                             tile_m=tile_m, interpret=interpret)
+    idx_parts, dist_parts = [], []
+    for s0 in range(0, nq, slab_q):
+        s1 = min(s0 + slab_q, nq)
+        pad = slab_q - (s1 - s0)
+        qs = jnp.pad(queries[s0:s1], ((0, pad), (0, 0)))
+        si, sd = _top1_l2_impl(qs, corpus, block_q=block_q,
+                               tile_m=tile_m, interpret=interpret)
+        sd.block_until_ready()
+        idx_parts.append(si[:s1 - s0])
+        dist_parts.append(sd[:s1 - s0])
+    return jnp.concatenate(idx_parts), jnp.concatenate(dist_parts)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "tile_m",
+                                             "interpret"))
+def _top1_l2_impl(queries, corpus, block_q: int = 512, tile_m: int = 2048,
+                  interpret: bool = False):
+    """One-slab pallas dispatch; padded corpus rows are masked by +inf
+    via their squared-norm entries."""
     queries = jnp.asarray(queries, jnp.float32)
     corpus = jnp.asarray(corpus, jnp.float32)
     nq, d = queries.shape

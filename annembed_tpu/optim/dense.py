@@ -313,19 +313,32 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
     return yi - yT
 
 
+@jax.jit
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
     """Reverse-edge weight and column: for edge l of node i with
     j = indices[i, l], w_rev[i, l] = w[j -> i] (0 if j does not list i)
     and rev_col[i, l] = the column of i within j's row (-1 if absent).
-    One (n, k, k) comparison at build time."""
+
+    Built one source-column at a time over (k, n) slices: the direct
+    (n, k, k) formulation (indices[indices]) materializes ~400M-element
+    gather chains at 11M nodes, which the TPU compiler refuses; the
+    column loop peaks at a few (k, n) arrays."""
     n, k = indices.shape
-    idx_j = indices[indices]          # (n, k, k)
-    w_j = w[indices]                  # (n, k, k)
-    me = jnp.arange(n, dtype=indices.dtype)[:, None, None]
-    hit = idx_j == me
-    w_rev = jnp.sum(jnp.where(hit, w_j, 0.0), axis=-1)
-    rev_col = jnp.where(hit.any(-1), jnp.argmax(hit, axis=-1), -1)
-    return w_rev, rev_col.astype(jnp.int32)
+    pos = jnp.arange(n, dtype=indices.dtype)
+    idxT = indices.T                       # (k, n)
+    wT = w.T
+    w_rev_cols, rev_cols = [], []
+    for c in range(k):
+        j_c = indices[:, c]                # (n,)
+        nbrs_of_j = idxT[:, j_c]           # (k, n): neighbours of j
+        hit = nbrs_of_j == pos[None, :]
+        w_rev_cols.append(
+            jnp.sum(jnp.where(hit, wT[:, j_c], 0.0), axis=0))
+        col = jnp.argmax(hit, axis=0).astype(jnp.int32)
+        rev_cols.append(jnp.where(hit.any(axis=0), col, -1))
+    w_rev = jnp.stack(w_rev_cols, axis=1)              # (n, k)
+    rev_col = jnp.stack(rev_cols, axis=1).astype(jnp.int32)
+    return w_rev, rev_col
 
 
 # backward-compatible alias used by tests

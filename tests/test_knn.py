@@ -123,3 +123,17 @@ def test_bfloat16_panel_with_rerank(rng):
     assert rec > 0.97, rec
     np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_search_corpus_chunked_matches():
+    """Chunked-corpus search (large-corpus memory path) must equal the
+    single-panel result."""
+    import numpy as np
+    from annembed_tpu.knn.brute import knn_search_brute
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(500, 8)).astype(np.float32)
+    q = rng.normal(size=(40, 8)).astype(np.float32)
+    i1, d1 = knn_search_brute(q, corpus, k=5)
+    i2, d2 = knn_search_brute(q, corpus, k=5, corpus_chunk=128)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
