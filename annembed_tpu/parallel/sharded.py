@@ -293,16 +293,18 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     row-sharded over the mesh.
 
     The exact optim/dense.py formulation — column-grouped scatter-free
-    attraction (closure floor + bernoulli edge masks) and the rolled
-    identity-pool repulsion with sequential kicks — runs per row shard
-    under ``lax.scan`` inside ONE program; each half-sweep the updated
-    row blocks ride ICI with one ``all_gather`` (the embedding is
-    replicated, (n, dim) floats: tiny next to the sweep compute).  The
-    per-shard negative pool is a CONTIGUOUS window of the rolled
-    replicated embedding (positions [r0*n_neg, (r0+m)*n_neg) mod n), so
+    attraction (closure floor + bernoulli edge masks) and the per-kick
+    rolled identity-pool repulsion with sequential kicks — runs per row
+    shard under ``lax.scan`` inside ONE program; each half-sweep the
+    updated row blocks ride ICI with one ``all_gather`` (the embedding
+    is replicated, (dim, n) floats: tiny next to the sweep compute).
+    Everything is laid out TRANSPOSED (feature-minor, n last) exactly
+    like the single-chip production path: full lanes on the (8, 128)
+    tiling.  Each kick's negative pool is a CONTIGUOUS window of the
+    replicated embedding (positions [r0 + s_t, r0 + m + s_t) mod n), so
     repulsion stays gather-free on every device."""
-    from ..optim.dense import (_attraction_sweep_scatter_free,
-                               _repulsion_sweep_rolled)
+    from ..optim.dense import _clipped_alpha
+    from ..optim.ce import _common_coeff
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
               neg_weight, keys, step0):
@@ -311,50 +313,58 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
         kg = k // n_groups
         dev = jax.lax.axis_index("data")
         r0 = dev * m_rows
+        stride = max(1, n // n_neg)
 
-        groups = [dict(idx=indices[:, c * kg:(c + 1) * kg],
-                       w=w[:, c * kg:(c + 1) * kg],
-                       m=m_visit[:, c * kg:(c + 1) * kg],
-                       w_rev=w_rev[:, c * kg:(c + 1) * kg],
-                       m_rev=m_rev[:, c * kg:(c + 1) * kg])
-                  for c in range(n_groups)]
+        # transposed per-shard constants (built once per segment):
+        # neighbour ids/weights/multiplicities (kg, m) and the
+        # PRE-GATHERED neighbour scales
+        idxT_full = indices.T                           # (k, m) global ids
+        scale_iT = jax.lax.dynamic_slice(emb_scale, (r0,),
+                                         (m_rows,))[None, :]   # (1, m)
+        groups = []
+        for c in range(n_groups):
+            sl = slice(c * kg, (c + 1) * kg)
+            idx_g = indices[:, sl]
+            groups.append(dict(
+                idxT=idx_g.T, wT=w[:, sl].T, mT=m_visit[:, sl].T,
+                w_revT=w_rev[:, sl].T, m_revT=m_rev[:, sl].T,
+                scale_jT=emb_scale[idx_g].T))
 
         def make_branch(c):
             gd = groups[c]
 
-            def branch(y, gamma, mask):
-                yi = jax.lax.dynamic_slice(y, (r0, 0), (m_rows, dim))
-                scale_i = jax.lax.dynamic_slice(emb_scale, (r0,),
-                                                (m_rows,))
-                yj = y[gd["idx"]]
-                scale_j = emb_scale[gd["idx"]]
-                d2 = jnp.sum(jnp.square(yi[:, None, :] - yj), -1)
-                from ..optim.dense import _clipped_alpha
-                a_f = _clipped_alpha(d2 / jnp.square(scale_i[:, None]),
-                                     scale_i[:, None], gd["w"], gamma, b)
-                a_r = _clipped_alpha(d2 / jnp.square(scale_j), scale_j,
-                                     gd["w_rev"], gamma, b)
-                m_eff = gd["m"] if mask is None \
-                    else gd["m"] * mask * (1.0 / mask_p)
+            def branch(yT, gamma, mask):
+                # yT replicated (dim, n); own rows (dim, m)
+                yiT = jax.lax.dynamic_slice(yT, (0, r0), (dim, m_rows))
+                yj = yT[:, gd["idxT"]]                  # (dim, kg, m)
+                diff = yj - yiT[:, None, :]
+                d2 = jnp.sum(jnp.square(diff), 0)       # (kg, m)
+                a_f = _clipped_alpha(d2 / jnp.square(scale_iT),
+                                     scale_iT, gd["wT"], gamma, b)
+                a_r = _clipped_alpha(d2 / jnp.square(gd["scale_jT"]),
+                                     gd["scale_jT"], gd["w_revT"],
+                                     gamma, b)
+                m_eff = gd["mT"] if mask is None \
+                    else gd["mT"] * mask * (1.0 / mask_p)
                 f_pair = jnp.exp(
                     m_eff * jnp.log(jnp.clip(1.0 - 2.0 * a_f, 1e-3, 1.05))
-                    + gd["m_rev"] * jnp.log(jnp.clip(1.0 - 2.0 * a_r,
-                                                     1e-3, 1.05)))
+                    + gd["m_revT"] * jnp.log(jnp.clip(1.0 - 2.0 * a_r,
+                                                      1e-3, 1.05)))
                 f_pair = jnp.maximum(f_pair, f_min)
-                c_pair = jnp.where(gd["w_rev"] > 0.0, 0.5, 1.0)
-                net = c_pair * (1.0 - f_pair)
-                return yi + jnp.sum((yj - yi[:, None, :])
-                                    * net[:, :, None], axis=1)
+                c_pair = jnp.where(gd["w_revT"] > 0.0, 0.5, 1.0)
+                net = c_pair * (1.0 - f_pair)           # (kg, m)
+                return yiT + jnp.sum(diff * net[None, :, :], axis=1)
 
             return branch
 
         branches = [make_branch(c) for c in range(n_groups)]
 
-        def gather_rows(rows):
-            return jax.lax.all_gather(rows, "data", axis=0,
-                                      tiled=True)
+        def gather_rows(rowsT):
+            return jax.lax.all_gather(rowsT, "data", axis=1, tiled=True)
 
-        def body(y, args):
+        pos_local = jnp.arange(m_rows, dtype=jnp.int32)
+
+        def body(yT, args):
             local_idx, kk = args
             step_idx = step0 + local_idx
             batch_idx = step_idx // n_sub + 1
@@ -365,62 +375,52 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                 kk, k_mask = jax.random.split(kk)
                 mask = jax.random.bernoulli(
                     jax.random.fold_in(k_mask, dev), mask_p,
-                    (m_rows, kg)).astype(jnp.float32)
+                    (kg, m_rows)).astype(jnp.float32)
             else:
                 mask = None
-            rows = jax.lax.switch(step_idx % n_groups, branches, y,
-                                  gamma, mask)
-            y = gather_rows(rows)
+            rowsT = jax.lax.switch(step_idx % n_groups, branches, yT,
+                                   gamma, mask)
+            yT = gather_rows(rowsT)
 
-            # repulsion: contiguous pool window of the rolled embedding
+            # repulsion: per-kick contiguous window of the replicated
+            # embedding (single-chip _repulsion_sweep_rolledT semantics)
             offset = jax.random.randint(kk, (), 0, n)
-            y_rolled = jnp.roll(y, -offset * n_neg, axis=0)
-            copies = -(-m_rows * n_neg // n) + 1
-            ycat = jnp.concatenate([y_rolled] * copies, axis=0)
-            start = (r0 * n_neg) % n
-            yk = jax.lax.dynamic_slice(
-                ycat, (start, 0), (m_rows * n_neg, dim)
-            ).reshape(m_rows, n_neg, dim)
-            pos0 = r0 * n_neg + offset * n_neg
-            neg_ids = (pos0 + jax.lax.broadcasted_iota(
-                jnp.int32, (m_rows, n_neg), 0) * n_neg
-                + jax.lax.broadcasted_iota(
-                    jnp.int32, (m_rows, n_neg), 1)) % n
-            gids = r0 + jnp.arange(m_rows, dtype=jnp.int32)
-            reject = (neg_ids == gids[:, None]) \
-                | (neg_ids[:, :, None] == indices[:, None, :]).any(-1)
-            nw_rolled = jnp.roll(neg_weight, -offset * n_neg)
-            nwcat = jnp.concatenate([nw_rolled] * copies)
-            nw = jax.lax.dynamic_slice(
-                nwcat, (start,), (m_rows * n_neg,)
-            ).reshape(m_rows, n_neg)
-
-            yi = jax.lax.dynamic_slice(y, (r0, 0), (m_rows, dim))
-            scale_i = jax.lax.dynamic_slice(emb_scale, (r0,), (m_rows,))
-            scale = scale_i[:, None]
-            from ..optim.ce import _common_coeff
+            ycat = jnp.concatenate([yT, yT], axis=1)       # (dim, 2n)
+            nwcat = jnp.concatenate([neg_weight, neg_weight])
+            yiT = jax.lax.dynamic_slice(yT, (0, r0), (dim, m_rows))
             for t in range(n_neg):
-                yk_t = yk[:, t, :]
-                d2s = jnp.sum(jnp.square(yi - yk_t), -1,
-                              keepdims=True) / jnp.square(scale)
-                coeff = _common_coeff(d2s, scale, b)
+                s_t = (offset + t * stride) % n
+                start = (r0 + s_t) % n
+                yk_t = jax.lax.dynamic_slice(ycat, (0, start),
+                                             (dim, m_rows))
+                # partners are from the pre-repulsion snapshot for rows
+                # this device owns too (matches the single-chip path,
+                # which rolls the snapshot): ycat IS the snapshot.
+                nid = (r0 + pos_local + s_t) % n
+                reject = (nid == r0 + pos_local) \
+                    | (nid[None, :] == idxT_full).any(0)
+                d2s = jnp.sum(jnp.square(yiT - yk_t), 0,
+                              keepdims=True) / jnp.square(scale_iT)
+                coeff = _common_coeff(d2s, scale_iT, b)
                 rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
                 coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
-                coeff_ik = coeff_ik * nw[:, t:t + 1]
-                ok = (d2s > 0.0) & jnp.logical_not(reject[:, t:t + 1])
+                nw_t = jax.lax.dynamic_slice(nwcat, (start,),
+                                             (m_rows,))[None, :]
+                coeff_ik = coeff_ik * nw_t
+                ok = (d2s > 0.0) & jnp.logical_not(reject)[None, :]
                 coeff_ik = jnp.where(ok, coeff_ik, 0.0)
-                yi = yi + (yi - yk_t) * coeff_ik
-            return gather_rows(yi), None
+                yiT = yiT + (yiT - yk_t) * coeff_ik
+            return gather_rows(yiT), None
 
         # the carry becomes device-varying after the first all_gather;
         # mark the (replicated) initial value accordingly
-        y_init = jax.lax.pcast(y0.astype(jnp.float32), ("data",),
-                               to="varying") \
-            if hasattr(jax.lax, "pcast") else y0.astype(jnp.float32)
-        y, _ = jax.lax.scan(
+        y0T = y0.astype(jnp.float32).T
+        y_init = jax.lax.pcast(y0T, ("data",), to="varying") \
+            if hasattr(jax.lax, "pcast") else y0T
+        yT, _ = jax.lax.scan(
             body, y_init,
             (jnp.arange(seg_steps, dtype=jnp.int32), keys))
-        return y
+        return yT.T
 
     # check_vma=False: the output IS replicated (every device holds the
     # full embedding after the final all_gather), but the varying-axes
