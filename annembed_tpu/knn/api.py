@@ -44,7 +44,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
             from .nndescent import nndescent_refine
             idx, dist = nndescent_refine(x, idx, dist,
                                          n_rounds=params.refine_rounds,
-                                         distance=distance)
+                                         distance=distance,
+                                         dtype=params.dtype)
         idx, dist = idx[:, :knbn], dist[:, :knbn]
     return KGraph(indices=idx, dists=dist)
 

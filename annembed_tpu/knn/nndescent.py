@@ -81,8 +81,8 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
         cur_idx, cur_dist, uni, rid = args  # (b,k),(b,k),(b,k+rc),(b,)
         # candidates: B(B(i))
         cand = union_pp[uni].reshape(uni.shape[0], -1)  # (b, (k+rc)^2)
-        q = x_pad[rid]                                            # (b, d)
-        xc = x_pad[cand]                                          # (b, C, d)
+        q = x_pad[rid].astype(jnp.float32)                        # (b, d)
+        xc = x_pad[cand].astype(jnp.float32)                      # (b, C, d)
         cd = pair_fn(q[:, None, :], xc)
         invalid = (cand >= n) | (cand == rid[:, None])
         # exclude already-known neighbours (avoid duplicates in merge)
@@ -118,7 +118,11 @@ def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
                     distance: str = "DistL2"):
     from .distances import get_pair_fn
     pair_fn = get_pair_fn(distance)
-    """One bounded slab of the local join (rows of one chunk)."""
+    """One bounded slab of the local join (rows of one chunk).
+
+    ``x_pad`` may be bfloat16 (candidate SCORING precision only — the
+    caller exact-reranks the final lists in f32); distances are
+    accumulated in f32 either way."""
     n = x_pad.shape[0] - 1
     rows = idx_slab.shape[0]
     n_blocks = -(-rows // block_rows)
@@ -131,8 +135,8 @@ def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
     def one(args):
         cur_idx, cur_dist, uni, rid = args
         cand = union_pp[uni].reshape(uni.shape[0], -1)
-        q = x_pad[rid]
-        xc = x_pad[cand]
+        q = x_pad[rid].astype(jnp.float32)
+        xc = x_pad[cand].astype(jnp.float32)
         cd = pair_fn(q[:, None, :], xc)
         invalid = (cand >= n) | (cand == rid[:, None])
         known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
@@ -152,30 +156,53 @@ def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
             jnp.maximum(nd.reshape(-1, k)[:rows], 0.0))
 
 
+@functools.partial(jax.jit, static_argnames=("distance",))
+def _exact_rerank_slab(x, idx_slab, rid_slab, distance: str = "DistL2"):
+    """Recompute distances of (rows, k) neighbour lists exactly in f32
+    and restore ascending order."""
+    from .distances import get_pair_fn
+    pair_fn = get_pair_fn(distance)
+    q = x[rid_slab]                       # (rows, d)
+    xc = x[idx_slab]                      # (rows, k, d)
+    d = pair_fn(q[:, None, :], xc)
+    order = jnp.argsort(d, axis=1)
+    return (jnp.take_along_axis(idx_slab, order, axis=1),
+            jnp.maximum(jnp.take_along_axis(d, order, axis=1), 0.0))
+
+
 def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                      block_rows: int = 512, rev_capacity: int = 0,
-                     distance: str = "DistL2"):
+                     distance: str = "DistL2", dtype: str = "float32"):
     """Refine (indices, dists) in place over n_rounds, in any of the
     five reference metrics (candidate scoring uses the metric's own
     pair form).  Work is dispatched in bounded row slabs
-    (device-program time limit)."""
+    (device-program time limit).
+
+    ``dtype="bfloat16"`` scores candidates from a bf16 copy of x
+    (halves the dominant (b, C, d) gather bytes) and exact-reranks the
+    final lists in f32, so returned distances stay f32-exact."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     k = indices.shape[1]
     if rev_capacity <= 0:
         rev_capacity = k
-    x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+    score_bf16 = dtype == "bfloat16"
+    x_score = x.astype(jnp.bfloat16) if score_bf16 else x
+    x_pad = jnp.concatenate(
+        [x_score, jnp.zeros((1, d), x_score.dtype)], axis=0)
     # scale the slab down for large candidate sets (cost ~ (k+rc)^2)
     slab = max(block_rows,
                _ROWS_PER_PROGRAM * 196 // max((k + rev_capacity) ** 2, 196))
     slab -= slab % block_rows or 0
+    ids = jnp.arange(n, dtype=jnp.int32)
     if n <= slab:
         for _ in range(n_rounds):
             indices, dists = _nndescent_round(x_pad, indices, dists, k,
                                               block_rows, rev_capacity,
                                               distance)
+        if score_bf16:
+            indices, dists = _exact_rerank_slab(x, indices, ids, distance)
         return indices, dists
-    ids = jnp.arange(n, dtype=jnp.int32)
     for _ in range(n_rounds):
         # one padded union only (rows [:n] are the union itself) and
         # per-slab in-place updates of preallocated outputs: at 11M the
@@ -207,4 +234,15 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
             # knn/ivf.py)
             out_d.block_until_ready()
         indices, dists = out_i, out_d
+    if score_bf16:
+        # small slabs: (rows, k, d) gather programs beyond a few hundred
+        # million elements crash the TPU compile helper
+        rr_slab = 250_000
+        for s0 in range(0, n, rr_slab):
+            s1 = min(s0 + rr_slab, n)
+            ri, rd = _exact_rerank_slab(x, indices[s0:s1], ids[s0:s1],
+                                        distance)
+            indices = jax.lax.dynamic_update_slice(indices, ri, (s0, 0))
+            dists = jax.lax.dynamic_update_slice(dists, rd, (s0, 0))
+            dists.block_until_ready()
     return indices, dists
