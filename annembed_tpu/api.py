@@ -66,15 +66,30 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           nbng: int = 10, knn_params: Optional[KnnParams] = None,
           params: Optional[EmbedderParams] = None, delim: str = ",",
           with_quality: bool = False, seed: int = 0,
-          graph_cache: Optional[str] = None):
+          graph_cache: Optional[str] = None,
+          graph_cache_eager: bool = False,
+          quality_fraction: float = 1.0,
+          quality_nbng: int = 50):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
     bin/embed.rs main flow :402-444).
 
     Returns (embedding (n, dim) np.ndarray, info dict).
+
+    ``graph_cache`` is written only after the full pipeline succeeds
+    (the save's device->host readback would otherwise degrade every
+    later dispatch on remote-dispatch runtimes — see PERF.md round 2);
+    pass ``graph_cache_eager=True`` to save right after the build
+    instead (crash-safe like the reference's HnswIo dump-after-
+    construction, higgs.rs:466-474, at the cost of a slower optimize
+    phase on such runtimes).
+
+    ``quality_fraction`` < 1 evaluates neighborhood conservation on a
+    node subsample with exact embedded radii (the reference's
+    subsampled quality runs, io.rs:197-199); ``quality_nbng`` is the
+    embedded neighbourhood size (reference uses 50 for MNIST, 100 for
+    Higgs).
     """
     x = _load(csv, delim, quality_sampling)
-    if x.shape[0] >= 500_000:
-        _ensure_eager_execution()
     if params is None:
         params = EmbedderParams()
     params.asked_dim = dim
@@ -85,6 +100,12 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     params.seed = seed
     if knn_params is None:
         knn_params = KnnParams(knbn=nbng, distance=distance)
+    # sync mode up front for big runs AND whenever the IVF path will
+    # run (it performs a one-int readback to trim its virtual rows —
+    # that readback must not be the process's first, see PERF.md)
+    if (x.shape[0] >= 500_000
+            or x.shape[0] > knn_params.brute_force_limit):
+        _ensure_eager_execution()
 
     t0 = time.perf_counter()
     if layer > 0:
@@ -102,6 +123,11 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             logger.info("loaded kNN graph checkpoint from %s", graph_cache)
         else:
             g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+            if graph_cache and graph_cache_eager:
+                from .io.checkpoint import save_kgraph
+                save_kgraph(graph_cache, g)
+                logger.info("eagerly saved kNN graph checkpoint to %s",
+                            graph_cache)
         emb = Embedder.new(g, params)
     # ORDER MATTERS: every device phase (embed, then the quality
     # estimator's second kNN build) runs before the first device->host
@@ -110,7 +136,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     y_dev = emb.embed()
     q = None
     if with_quality:
-        q = emb.get_quality_estimate_from_edge_length()
+        q = emb.get_quality_estimate_from_edge_length(
+            nbng=quality_nbng, sample_fraction=quality_fraction)
     y = np.asarray(y_dev)
     info = _finalize_info(emb.info)
     info["total_time"] = time.perf_counter() - t0
@@ -153,12 +180,13 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     bin/dmapembed.rs:390-432).  With layer > 0 only the subsample graph
     is embedded (dmapembed.rs:415-422)."""
     x = _load(csv, delim, quality_sampling)
-    if x.shape[0] >= 500_000:
-        _ensure_eager_execution()
     dp = DiffusionParams(asked_dim=dim, alfa=alfa, beta=beta, t=time_param,
                          gnbn=nbng)
     if knn_params is None:
         knn_params = KnnParams(knbn=nbng, distance=distance)
+    if (x.shape[0] >= 500_000
+            or x.shape[0] > knn_params.brute_force_limit):
+        _ensure_eager_execution()
     t0 = time.perf_counter()
     dm = DiffusionMaps(params=dp)
     if layer > 0:

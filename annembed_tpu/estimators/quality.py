@@ -11,13 +11,20 @@ Rebuilds ``get_quality_estimate_from_edge_length``
   3. Count, per node, how many original neighbours fall inside that
      radius (match counts), and the ratio distribution
      edge_length / radius (CKMS quantiles -> exact jnp.quantile).
+
+``sample_fraction`` < 1 evaluates the estimator on a random node
+subsample — the reference's subsampled quality runs (io.rs:197-199,
+README.md:146-148) at Higgs scale.  Sampled queries get their radius
+from an EXACT embedded-space kNN search against the full cloud
+(chunked brute panels), so the subsampled estimate is exact-radius,
+not IVF-approximate.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +32,7 @@ import numpy as np
 
 from ..graph.kgraph import KGraph
 from ..knn.api import build_kgraph
+from ..knn.brute import knn_search_brute
 from ..params import KnnParams
 
 logger = logging.getLogger(__name__)
@@ -43,10 +51,17 @@ class QualityEstimate:
     mean_ratio: float
     radii_quantiles: Dict[str, float]
     ratio_quantiles: Dict[str, float]
-    #: per-node mean ratio (dumped to continuity_ratio.csv by the CLI)
+    #: per-node mean ratio (dumped to continuity_ratio.csv by the CLI);
+    #: rows follow ``sample_ids`` when sampling is active
     ratio_by_node: jnp.ndarray
     #: per-node min embedded edge length (first_dist.csv)
     first_dist: jnp.ndarray
+    #: nodes actually evaluated (== nb_nodes without sampling)
+    nb_sampled: int = 0
+    #: exact fraction of evaluated nodes with zero conserved neighbours
+    frac_without_match: float = 0.0
+    #: evaluated node ids (None = all nodes in order)
+    sample_ids: Optional[np.ndarray] = None
 
     def summary(self) -> Dict[str, float]:
         out = {
@@ -54,23 +69,29 @@ class QualityEstimate:
             "mean_nb_matched": self.mean_nb_matched,
             "median_ratio": self.median_ratio,
             "mean_ratio": self.mean_ratio,
+            "frac_without_match": self.frac_without_match,
         }
+        if self.nb_sampled != self.nb_nodes:
+            out["nb_sampled"] = float(self.nb_sampled)
         out.update({f"radius_{k}": v for k, v in self.radii_quantiles.items()})
         out.update({f"ratio_{k}": v for k, v in self.ratio_quantiles.items()})
         return out
 
 
 @jax.jit
-def _edge_lengths_embedded(y, indices):
-    """(n, k) embedded L2 lengths of the original graph edges."""
-    yi = y[:, None, :]          # (n, 1, d)
-    yj = y[indices]             # (n, k, d)
+def _edge_lengths_rows(y_rows, y, indices_rows):
+    """(m, k) embedded L2 lengths for a row subset: y_rows (m, d) are
+    the evaluated nodes' coordinates, indices_rows (m, k) their original
+    neighbour ids into the full cloud ``y``."""
+    yj = y[indices_rows]              # (m, k, d)
     return jnp.sqrt(jnp.maximum(
-        jnp.sum(jnp.square(yi - yj), axis=-1), 0.0))
+        jnp.sum(jnp.square(y_rows[:, None, :] - yj), axis=-1), 0.0))
 
 
 def quality_estimate(g: KGraph, y, nbng: int = 50,
-                     knn_params: KnnParams | None = None) -> QualityEstimate:
+                     knn_params: KnnParams | None = None,
+                     sample_fraction: float = 1.0,
+                     seed: int = 0) -> QualityEstimate:
     """Compute the neighborhood-conservation summary.
 
     Note the reference's transformed edge lengths take a running
@@ -78,63 +99,97 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     (embedder.rs:504-509) — an idiosyncrasy that only affects its
     per-edge list, not the match counts (which we reproduce from the
     raw lengths).
+
+    With ``sample_fraction`` < 1, conservation is measured on a random
+    node subsample whose embedded radii come from an exact chunked
+    brute search (no second full graph build); ``nb_without_match`` is
+    extrapolated to the full node count (``frac_without_match`` holds
+    the exact sample fraction).
     """
     y = jnp.asarray(y, jnp.float32)
     n, k = g.indices.shape
 
-    lengths = _edge_lengths_embedded(y, g.indices)          # (n, k)
+    sample_ids = None
+    if sample_fraction < 1.0:
+        m = max(1, min(n, int(round(n * sample_fraction))))
+        rng = np.random.default_rng(seed)
+        sample_ids = np.sort(rng.choice(n, size=m, replace=False)
+                             ).astype(np.int32)
+        sub = jnp.asarray(sample_ids)
+        y_rows = y[sub]
+        lengths = _edge_lengths_rows(y_rows, y, g.indices[sub])  # (m, k)
+        # exact embedded radius: (nbng+1)-NN search against the full
+        # cloud includes self at distance 0, so column nbng is the
+        # nbng-th true neighbour distance
+        _, sd = knn_search_brute(y_rows, y, k=nbng + 1)
+        radius = sd[:, nbng]
+    else:
+        m = n
+        y_rows = y
+        lengths = _edge_lengths_rows(y, y, g.indices)            # (n, k)
 
-    # embedded-space kNN graph: radius = nbng-th neighbour distance.
-    # NN-descent refinement is skipped here: at nbng ~ 50 its candidate
-    # set is (2*nbng)^2 per node (prohibitive at millions of points),
-    # and the radius estimate only shifts marginally with IVF-level
-    # recall.
-    if knn_params is None:
-        knn_params = KnnParams(knbn=nbng, refine_rounds=0)
-    emb_graph = build_kgraph(y, nbng, distance="DistL2", params=knn_params)
-    radius = emb_graph.dists[:, -1]                         # (n,)
+        # embedded-space kNN graph: radius = nbng-th neighbour distance.
+        # NN-descent refinement is skipped here: at nbng ~ 50 its
+        # candidate set is (2*nbng)^2 per node (prohibitive at millions
+        # of points), and the radius estimate only shifts marginally
+        # with IVF-level recall.
+        if knn_params is None:
+            knn_params = KnnParams(knbn=nbng, refine_rounds=0)
+        emb_graph = build_kgraph(y, nbng, distance="DistL2",
+                                 params=knn_params)
+        radius = emb_graph.dists[:, -1]                          # (n,)
 
     safe_r = jnp.maximum(radius, 1e-30)[:, None]
-    matched = lengths <= radius[:, None]                    # (n, k)
-    nodes_matched = matched.sum(axis=1)                     # (n,)
+    matched = lengths <= radius[:, None]                    # (m, k)
+    nodes_matched = matched.sum(axis=1)                     # (m,)
 
-    ratios = lengths / safe_r                               # (n, k)
+    ratios = lengths / safe_r                               # (m, k)
     ratio_flat = ratios.reshape(-1)
     qs = jnp.array(_QS)
 
     # ONE batched device->host readback of every scalar at the end
     # (each individual readback costs a round trip on remote-dispatch
     # runtimes, and the FIRST one in a process is extremely expensive —
-    # so never interleave conversions with device work)
+    # so never interleave conversions with device work).  The two
+    # counts travel as int32 (exact up to 2^31; float32 readback lost
+    # integer precision past 2^24 — n*k is ~550M at 11M x 50)
+    counts = jnp.stack([(nodes_matched == 0).sum(),
+                        nodes_matched.sum()]).astype(jnp.int32)
     scalars = jnp.concatenate([
-        jnp.stack([(nodes_matched == 0).sum().astype(jnp.float32),
-                   nodes_matched.sum().astype(jnp.float32),
-                   ratio_flat.mean()]),
+        jnp.stack([ratio_flat.mean()]),
         jnp.quantile(ratio_flat, qs),
         jnp.quantile(radius, qs),
     ])
     ratio_by_node = ratios.mean(axis=1)
     first_dist = lengths.min(axis=1)
-    vals = np.asarray(scalars)
+    vals_i, vals = jax.device_get((counts, scalars))
 
-    nb_without = int(vals[0])
-    nb_with = max(n - nb_without, 1)
-    mean_matched = float(vals[1] / nb_with)
+    nb_without_sample = int(vals_i[0])
+    frac_without = nb_without_sample / m
+    # extrapolate the count to the full node count so the headline
+    # number stays comparable across sample fractions
+    nb_without = (nb_without_sample if m == n
+                  else int(round(frac_without * n)))
+    nb_with = max(m - nb_without_sample, 1)
+    mean_matched = float(int(vals_i[1]) / nb_with)
     nq = len(_QS)
-    ratio_q = {f"q{q:g}": float(v) for q, v in zip(_QS, vals[3:3 + nq])}
+    ratio_q = {f"q{q:g}": float(v) for q, v in zip(_QS, vals[1:1 + nq])}
     radii_q = {f"q{q:g}": float(v) for q, v in
-               zip(_QS, vals[3 + nq:3 + 2 * nq])}
+               zip(_QS, vals[1 + nq:1 + 2 * nq])}
 
     est = QualityEstimate(
         nb_nodes=n, nbng_used=k, nbng_target=nbng,
         nb_without_match=nb_without, mean_nb_matched=mean_matched,
         median_ratio=ratio_q["q0.5"],
-        mean_ratio=float(vals[2]),
+        mean_ratio=float(vals[0]),
         radii_quantiles=radii_q, ratio_quantiles=ratio_q,
         ratio_by_node=ratio_by_node,
-        first_dist=first_dist)
+        first_dist=first_dist,
+        nb_sampled=m, frac_without_match=frac_without,
+        sample_ids=sample_ids)
     logger.info(
-        "quality: nb_without_match=%d mean_matched=%.3f median_ratio=%.3e "
-        "mean_ratio=%.3e", nb_without, mean_matched, est.median_ratio,
+        "quality: nb_without_match=%d (frac %.4f of %d sampled) "
+        "mean_matched=%.3f median_ratio=%.3e mean_ratio=%.3e",
+        nb_without, frac_without, m, mean_matched, est.median_ratio,
         est.mean_ratio)
     return est

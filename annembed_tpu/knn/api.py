@@ -45,7 +45,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
             idx, dist = nndescent_refine(x, idx, dist,
                                          n_rounds=params.refine_rounds,
                                          distance=distance,
-                                         dtype=params.dtype)
+                                         dtype=params.dtype,
+                                         rho=params.nndescent_rho)
         idx, dist = idx[:, :knbn], dist[:, :knbn]
     return KGraph(indices=idx, dists=dist)
 

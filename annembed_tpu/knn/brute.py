@@ -30,13 +30,18 @@ from .distances import get_panel_fn, corpus_sqnorm
 _RERANK_EXTRA = 8
 
 
-def _exact_l2_rerank(q, x, cand_idx, k):
+def _exact_l2_rerank(q, x, cand_idx, k, self_ids=None):
     """Re-rank candidate indices by exact L2 distance.
 
     q: (b, d), cand_idx: (b, kk) -> (idx (b, k) int32, dist (b, k)).
+    ``self_ids`` (b,) masks the query's own id BEFORE selection: when
+    kk reaches n (tiny corpora) the panel's masked self column re-enters
+    the candidate set and its recomputed exact distance (0) would win.
     """
     xc = x[cand_idx]  # (b, kk, d)
     d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)  # (b, kk)
+    if self_ids is not None:
+        d2 = jnp.where(cand_idx == self_ids[:, None], jnp.inf, d2)
     neg_d2, pos = jax.lax.top_k(-d2, k)
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
@@ -68,14 +73,7 @@ def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
         dist = jnp.where(col == ids[:, None], jnp.inf, dist)
         neg_d, idx = jax.lax.top_k(-dist, kk)
         if rerank:
-            ridx, rdist = _exact_l2_rerank(q, x, idx, k)
-            # re-mask self (rerank recomputes the self distance as 0)
-            self_pos = ridx == ids[:, None]
-            rdist = jnp.where(self_pos, jnp.inf, rdist)
-            order = jnp.argsort(rdist, axis=1)
-            ridx = jnp.take_along_axis(ridx, order, axis=1)
-            rdist = jnp.take_along_axis(rdist, order, axis=1)
-            return ridx, rdist
+            return _exact_l2_rerank(q, x, idx, k, self_ids=ids)
         return idx.astype(jnp.int32), -neg_d
 
     idx, dists = jax.lax.map(one_block, (q_blocks, id_blocks))

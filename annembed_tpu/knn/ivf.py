@@ -146,7 +146,7 @@ def _ivf_tables_impl(cells, nlist: int, cap: int, qcap: int,
     marks = jnp.zeros((v_static,), jnp.int32).at[
         vstarts[1:].astype(jnp.int32)].add(1, mode="drop")
     virt_parent = jnp.cumsum(marks).astype(jnp.int32)
-    return virt_table, virt_parent, cand_table
+    return virt_table, virt_parent, cand_table, jnp.sum(nvirt)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name",
@@ -241,7 +241,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     cap = max(k + 1, int(4 * n / nlist) + 1)
     qcap = min(cap, max(k + 1, 1024))
     v_static = nlist + n // qcap
-    virt_table, virt_parent, cand_table = _ivf_tables_impl(
+    virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
         cells, nlist, cap, qcap, v_static)
 
     # nearest cells per cell (self included first, exact panel on centroids)
@@ -259,7 +259,14 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     # (pad id n drops into the sentinel row) — concatenating all slab
     # outputs first would hold (V, cap, k) idx+dist at once, 5.3 GB at
     # 11M points, the difference between fitting in HBM or not.
-    v_total = virt_table.shape[0]
+    # trim the trailing all-pad virtual rows before the slab loop:
+    # v_static = nlist + n // qcap over-allocates by up to ~45% when
+    # most cells hold fewer than qcap points (the padded rows would
+    # each run a full (qcap, nprobe*cap) panel into the sentinel row).
+    # The one-int readback is safe here: large pipelines have already
+    # entered sync mode (api._ensure_eager_execution) and small ones
+    # pay a single cheap transfer
+    v_total = int(v_used)
     rows_per_slab = max(8, 20_000_000 // max(cap * nprobe, 1))
     idx = jnp.zeros((n + 1, k), jnp.int32)
     dist = jnp.zeros((n + 1, k), jnp.float32)

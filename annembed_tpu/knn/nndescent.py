@@ -9,6 +9,14 @@ node, the two-hop candidates of its *symmetrized* neighbourhood
 in row panels (gather + VPU reduce), and merges with the current
 top-k.  Everything is static-shaped; work is dispatched in bounded row
 slabs to respect the device-program time limit.
+
+``rho`` < 1 implements Dong's candidate sampling: each round draws an
+independent per-node random subset of size rho*(k+rc) from the
+symmetrized neighbourhood and joins over it (outer AND inner hop), so
+the dominant (b, C, d) candidate gather shrinks by ~rho^2 while the
+round-over-round union of sampled candidates still covers the full
+two-hop set.  The node's own (full) neighbourhood is always appended
+as direct candidates, so one-hop reverse edges are never lost.
 """
 
 from __future__ import annotations
@@ -54,37 +62,67 @@ def _union_pp_impl(indices, rev_capacity: int):
                    ((0, 1), (0, 0)), constant_values=n)
 
 
+@functools.partial(jax.jit, static_argnames=("s",))
+def _sample_union_pp(key, union_pp, s: int):
+    """Per-row random s-subset of the padded union table (n+1, u) ->
+    (n+1, s), valid (non-pad) entries preferred.  One (n, u) uniform +
+    top-k — negligible next to the join it shrinks."""
+    n = union_pp.shape[0] - 1
+    u = jax.random.uniform(key, union_pp.shape)
+    # pads sort last; valid entries keep uniform random order
+    u = u + 10.0 * (union_pp >= n)
+    _, cols = jax.lax.top_k(-u, s)
+    return jnp.take_along_axis(union_pp, cols, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_rows",
-                                             "rev_capacity", "distance"))
-def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
-                     rev_capacity: int, distance: str = "DistL2"):
+                                             "distance"))
+def _nndescent_slab(x_pad, inner_pp, idx_slab, dist_slab, uni_slab,
+                    full_slab, rid_slab, k: int, block_rows: int,
+                    distance: str = "DistL2"):
+    """One bounded slab of the local join (rows of one chunk).
+
+    ``inner_pp`` (n+1, s) is the (possibly rho-sampled) neighbourhood
+    used for the inner hop; ``uni_slab`` (rows, s) the outer sampled
+    neighbourhood of the slab's rows; ``full_slab`` (rows, u) the
+    UNSAMPLED neighbourhood, appended as direct candidates.
+
+    ``x_pad`` may be bfloat16 (candidate SCORING precision only — the
+    caller exact-reranks the final lists in f32); distances are
+    accumulated in f32 either way.
+
+    Duplicate candidates (one node reached through several lists) are
+    removed by an id-sort + adjacent-equal mask before the top-k merge:
+    without it both copies of a new node can enter the merged list and
+    the graph grows duplicate neighbour entries (measured ~3% of edges
+    on clustered data)."""
     from .distances import get_pair_fn
     pair_fn = get_pair_fn(distance)
-    n = indices.shape[0]
-    d = x_pad.shape[1]
-    rev = _reverse_table(indices, rev_capacity)            # (n, rc)
-
-    n_blocks = -(-n // block_rows)
-    pad_rows = n_blocks * block_rows - n
-    idx_p = jnp.pad(indices, ((0, pad_rows), (0, 0)), constant_values=n)
-    dist_p = jnp.pad(dists, ((0, pad_rows), (0, 0)))
-    rid_p = jnp.arange(n_blocks * block_rows, dtype=jnp.int32)
-
-    # general neighbourhood B(i) = forward ∪ reverse (Dong et al.: the
-    # local join must run over the symmetrized lists, otherwise
-    # information propagates only one directed hop per round)
-    union = jnp.concatenate([indices, rev], axis=1)          # (n, k+rc)
-    union_pp = jnp.pad(union, ((0, 1), (0, 0)), constant_values=n)
-    union_p = jnp.pad(union, ((0, pad_rows), (0, 0)), constant_values=n)
+    n = x_pad.shape[0] - 1
+    rows = idx_slab.shape[0]
+    n_blocks = -(-rows // block_rows)
+    pad_rows = n_blocks * block_rows - rows
+    idx_p = jnp.pad(idx_slab, ((0, pad_rows), (0, 0)), constant_values=n)
+    dist_p = jnp.pad(dist_slab, ((0, pad_rows), (0, 0)))
+    uni_p = jnp.pad(uni_slab, ((0, pad_rows), (0, 0)), constant_values=n)
+    full_p = jnp.pad(full_slab, ((0, pad_rows), (0, 0)), constant_values=n)
+    rid_p = jnp.pad(rid_slab, (0, pad_rows), constant_values=n)
 
     def one(args):
-        cur_idx, cur_dist, uni, rid = args  # (b,k),(b,k),(b,k+rc),(b,)
-        # candidates: B(B(i))
-        cand = union_pp[uni].reshape(uni.shape[0], -1)  # (b, (k+rc)^2)
-        q = x_pad[rid].astype(jnp.float32)                        # (b, d)
-        xc = x_pad[cand].astype(jnp.float32)                      # (b, C, d)
+        cur_idx, cur_dist, uni, full, rid = args
+        # candidates: sampled B(sampled B(i)) plus the full B(i)
+        cand = jnp.concatenate(
+            [inner_pp[uni].reshape(uni.shape[0], -1), full], axis=1)
+        # id-sort per row so duplicates are adjacent (candidate order
+        # carries no meaning); pads (>= n) sort last
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((cand.shape[0], 1), bool),
+             cand[:, 1:] == cand[:, :-1]], axis=1)
+        q = x_pad[rid].astype(jnp.float32)
+        xc = x_pad[cand].astype(jnp.float32)
         cd = pair_fn(q[:, None, :], xc)
-        invalid = (cand >= n) | (cand == rid[:, None])
+        invalid = (cand >= n) | (cand == rid[:, None]) | dup
         # exclude already-known neighbours (avoid duplicates in merge)
         known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
         cd = jnp.where(invalid | known, jnp.inf, cd)
@@ -97,11 +135,11 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
     ni, nd = jax.lax.map(one, (
         idx_p.reshape(n_blocks, block_rows, -1),
         dist_p.reshape(n_blocks, block_rows, -1),
-        union_p.reshape(n_blocks, block_rows, -1),
+        uni_p.reshape(n_blocks, block_rows, -1),
+        full_p.reshape(n_blocks, block_rows, -1),
         rid_p.reshape(n_blocks, block_rows)))
-    ni = ni.reshape(-1, k)[:n]
-    nd = nd.reshape(-1, k)[:n]
-    return ni, jnp.maximum(nd, 0.0)
+    return (ni.reshape(-1, k)[:rows],
+            jnp.maximum(nd.reshape(-1, k)[:rows], 0.0))
 
 
 #: rows processed per device program: the axon runtime kills programs
@@ -109,51 +147,6 @@ def _nndescent_round(x_pad, indices, dists, k: int, block_rows: int,
 #: call to seconds (candidate joins cost ~0.1-0.3 ms per row at k~8,
 #: more at large k)
 _ROWS_PER_PROGRAM = 200_000
-
-
-@functools.partial(jax.jit, static_argnames=("k", "block_rows",
-                                             "distance"))
-def _nndescent_slab(x_pad, union_pp, idx_slab, dist_slab, uni_slab,
-                    rid_slab, k: int, block_rows: int,
-                    distance: str = "DistL2"):
-    from .distances import get_pair_fn
-    pair_fn = get_pair_fn(distance)
-    """One bounded slab of the local join (rows of one chunk).
-
-    ``x_pad`` may be bfloat16 (candidate SCORING precision only — the
-    caller exact-reranks the final lists in f32); distances are
-    accumulated in f32 either way."""
-    n = x_pad.shape[0] - 1
-    rows = idx_slab.shape[0]
-    n_blocks = -(-rows // block_rows)
-    pad_rows = n_blocks * block_rows - rows
-    idx_p = jnp.pad(idx_slab, ((0, pad_rows), (0, 0)), constant_values=n)
-    dist_p = jnp.pad(dist_slab, ((0, pad_rows), (0, 0)))
-    uni_p = jnp.pad(uni_slab, ((0, pad_rows), (0, 0)), constant_values=n)
-    rid_p = jnp.pad(rid_slab, (0, pad_rows), constant_values=n)
-
-    def one(args):
-        cur_idx, cur_dist, uni, rid = args
-        cand = union_pp[uni].reshape(uni.shape[0], -1)
-        q = x_pad[rid].astype(jnp.float32)
-        xc = x_pad[cand].astype(jnp.float32)
-        cd = pair_fn(q[:, None, :], xc)
-        invalid = (cand >= n) | (cand == rid[:, None])
-        known = (cand[:, :, None] == cur_idx[:, None, :]).any(-1)
-        cd = jnp.where(invalid | known, jnp.inf, cd)
-        all_d = jnp.concatenate([cur_dist, cd], axis=1)
-        all_i = jnp.concatenate([cur_idx, cand], axis=1)
-        neg_d, pos = jax.lax.top_k(-all_d, k)
-        new_i = jnp.take_along_axis(all_i, pos, axis=1)
-        return new_i.astype(jnp.int32), -neg_d
-
-    ni, nd = jax.lax.map(one, (
-        idx_p.reshape(n_blocks, block_rows, -1),
-        dist_p.reshape(n_blocks, block_rows, -1),
-        uni_p.reshape(n_blocks, block_rows, -1),
-        rid_p.reshape(n_blocks, block_rows)))
-    return (ni.reshape(-1, k)[:rows],
-            jnp.maximum(nd.reshape(-1, k)[:rows], 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("distance",))
@@ -172,7 +165,8 @@ def _exact_rerank_slab(x, idx_slab, rid_slab, distance: str = "DistL2"):
 
 def nndescent_refine(x, indices, dists, n_rounds: int = 2,
                      block_rows: int = 512, rev_capacity: int = 0,
-                     distance: str = "DistL2", dtype: str = "float32"):
+                     distance: str = "DistL2", dtype: str = "float32",
+                     rho: float = 1.0, seed: int = 0):
     """Refine (indices, dists) in place over n_rounds, in any of the
     five reference metrics (candidate scoring uses the metric's own
     pair form).  Work is dispatched in bounded row slabs
@@ -180,7 +174,12 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
 
     ``dtype="bfloat16"`` scores candidates from a bf16 copy of x
     (halves the dominant (b, C, d) gather bytes) and exact-reranks the
-    final lists in f32, so returned distances stay f32-exact."""
+    final lists in f32, so returned distances stay f32-exact.
+
+    ``rho`` < 1 joins over an independent per-node, per-round random
+    subset of the symmetrized neighbourhood (Dong's rho-sampling): the
+    per-round candidate volume shrinks ~rho^2 at a modest per-round
+    recall cost (see PERF.md round-3 measurements)."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     k = indices.shape[1]
@@ -190,20 +189,16 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
     x_score = x.astype(jnp.bfloat16) if score_bf16 else x
     x_pad = jnp.concatenate(
         [x_score, jnp.zeros((1, d), x_score.dtype)], axis=0)
-    # scale the slab down for large candidate sets (cost ~ (k+rc)^2)
+    u = k + rev_capacity
+    s = u if rho >= 1.0 else max(2, int(round(rho * u)))
+    cand_per_row = s * s + u
+    # scale the slab down for large candidate sets
     slab = max(block_rows,
-               _ROWS_PER_PROGRAM * 196 // max((k + rev_capacity) ** 2, 196))
+               _ROWS_PER_PROGRAM * 196 // max(cand_per_row, 196))
     slab -= slab % block_rows or 0
     ids = jnp.arange(n, dtype=jnp.int32)
-    if n <= slab:
-        for _ in range(n_rounds):
-            indices, dists = _nndescent_round(x_pad, indices, dists, k,
-                                              block_rows, rev_capacity,
-                                              distance)
-        if score_bf16:
-            indices, dists = _exact_rerank_slab(x, indices, ids, distance)
-        return indices, dists
-    for _ in range(n_rounds):
+    key = jax.random.PRNGKey(seed + 1013)
+    for rnd in range(n_rounds):
         # one padded union only (rows [:n] are the union itself) and
         # per-slab in-place updates of preallocated outputs: at 11M the
         # union copy + concat-accumulated slab outputs were ~2 GB of
@@ -212,16 +207,23 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
         # (argsort/gather chains over n*k = 132M elements) all stay
         # live at once and OOM at 11M
         union_pp = _union_pp_impl(indices, rev_capacity)
+        if s < u:
+            key, k_s = jax.random.split(key)
+            inner_pp = _sample_union_pp(k_s, union_pp, s)
+        else:
+            inner_pp = union_pp
         out_i = jnp.zeros((n, k), jnp.int32)
         out_d = jnp.zeros((n, k), jnp.float32)
         for s0 in range(0, n, slab):
             s1 = min(s0 + slab, n)
             sl_pad = slab - (s1 - s0)
             ni, nd = _nndescent_slab(
-                x_pad, union_pp,
+                x_pad, inner_pp,
                 jnp.pad(indices[s0:s1], ((0, sl_pad), (0, 0)),
                         constant_values=n),
                 jnp.pad(dists[s0:s1], ((0, sl_pad), (0, 0))),
+                jnp.pad(inner_pp[s0:s1], ((0, sl_pad), (0, 0)),
+                        constant_values=n),
                 jnp.pad(union_pp[s0:s1], ((0, sl_pad), (0, 0)),
                         constant_values=n),
                 jnp.pad(ids[s0:s1], (0, sl_pad), constant_values=n),

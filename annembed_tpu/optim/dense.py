@@ -315,9 +315,8 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
 
 @jax.jit
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
-    """Reverse-edge weight and column: for edge l of node i with
-    j = indices[i, l], w_rev[i, l] = w[j -> i] (0 if j does not list i)
-    and rev_col[i, l] = the column of i within j's row (-1 if absent).
+    """Reverse-edge weight: for edge l of node i with j = indices[i, l],
+    w_rev[i, l] = w[j -> i] (0 if j does not list i).
 
     Built one source-column at a time over (k, n) slices: the direct
     (n, k, k) formulation (indices[indices]) materializes ~400M-element
@@ -327,23 +326,19 @@ def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
     pos = jnp.arange(n, dtype=indices.dtype)
     idxT = indices.T                       # (k, n)
     wT = w.T
-    w_rev_cols, rev_cols = [], []
+    w_rev_cols = []
     for c in range(k):
         j_c = indices[:, c]                # (n,)
         nbrs_of_j = idxT[:, j_c]           # (k, n): neighbours of j
         hit = nbrs_of_j == pos[None, :]
         w_rev_cols.append(
             jnp.sum(jnp.where(hit, wT[:, j_c], 0.0), axis=0))
-        col = jnp.argmax(hit, axis=0).astype(jnp.int32)
-        rev_cols.append(jnp.where(hit.any(axis=0), col, -1))
-    w_rev = jnp.stack(w_rev_cols, axis=1)              # (n, k)
-    rev_col = jnp.stack(rev_cols, axis=1).astype(jnp.int32)
-    return w_rev, rev_col
+    return jnp.stack(w_rev_cols, axis=1)               # (n, k)
 
 
 # backward-compatible alias used by tests
 def reverse_edge_weights(indices, w):
-    return reverse_edge_info(indices, w)[0]
+    return reverse_edge_info(indices, w)
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n_sub", "n_neg",
@@ -351,7 +346,7 @@ def reverse_edge_weights(indices, w):
                                              "scatter_free",
                                              "seg_steps", "f_min",
                                              "mask_p"))
-def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
+def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
@@ -365,9 +360,7 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     the (n, k) edge table (1/n_groups of the edges), round-robin, with
     per-visit multiplicity scaled by n_groups.  This keeps the
     per-sync-step displacement (the quality knob) while paying
-    1/n_groups of the gather + segment-sum cost per step.  A reverse
-    edge that lives in a different column group fires in a different
-    sweep, so its pair share is zeroed here (rev_col check)."""
+    1/n_groups of the gather + segment-sum cost per step."""
     n, k = indices.shape
     assert k % n_groups == 0, "k must be divisible by n_groups"
     kg = k // n_groups
@@ -508,7 +501,7 @@ def _segment_cap(n: int, n_groups: int) -> int:
     return max(cap, n_groups)
 
 
-def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
+def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
@@ -523,7 +516,7 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit, rev_col,
     keys = jax.random.split(key, n_segs)
     for si in range(n_segs):
         y = _dense_segment(y, indices, w, m_visit, w_rev, m_rev_visit,
-                           rev_col, emb_scale, keys[si], neg_weight,
+                           emb_scale, keys[si], neg_weight,
                            grad_step_init=grad_step_init, b=b,
                            n_sub=n_sub, n_neg=n_neg,
                            nb_grad_batch=nb_grad_batch,
@@ -570,7 +563,7 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     # expected samples of edge e per *visit* (a group is visited every
     # n_groups-th sweep, n_sub / n_groups visits per batch)
     m_visit = params.nb_sampling_by_edge * k * w * n_groups / n_sub
-    w_rev, rev_col = reverse_edge_info(indices_r, w)
+    w_rev = reverse_edge_info(indices_r, w)
     m_rev_visit = params.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
     # negatives per node per sub-sweep
     n_neg = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge * k
@@ -583,7 +576,7 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
         nw = nw / jnp.maximum(jnp.mean(nw), 1e-30)
         neg_weight = jnp.clip(nw, 0.25, 4.0)
     y_r = dense_optimize(y0_r, indices_r, w, m_visit,
-                         w_rev, m_rev_visit, rev_col, emb_scale, key,
+                         w_rev, m_rev_visit, emb_scale, key,
                          neg_weight,
                          grad_step_init=float(params.grad_step),
                          b=float(params.b), n_sub=n_sub, n_neg=n_neg,

@@ -227,7 +227,10 @@ class Embedder:
             return self.hkgraph.large_graph
         return None
 
-    def get_quality_estimate_from_edge_length(self, nbng: int = 50):
+    def get_quality_estimate_from_edge_length(self, nbng: int = 50,
+                                              sample_fraction: float = 1.0):
         from ..estimators.quality import quality_estimate
         g = self.get_kgraph()
-        return quality_estimate(g, self.embedding, nbng=nbng)
+        return quality_estimate(g, self.embedding, nbng=nbng,
+                                sample_fraction=sample_fraction,
+                                seed=self.params.seed)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..optim.ce import EdgeSet, NB_NEGATIVE, _common_coeff
 from ..params import PROBA_MIN
@@ -243,7 +243,7 @@ def shard_dense_inputs(g, npar, params, mesh: Mesh):
     ndev = mesh.devices.size
     assert n % ndev == 0, "pad n to a multiple of the mesh size"
     w = npar.probas.astype(jnp.float32)
-    w_rev, _ = reverse_edge_info(g.indices, w)
+    w_rev = reverse_edge_info(g.indices, w)
     n_sub = params.n_sub
     m_visit = params.nb_sampling_by_edge * k * w / n_sub
     m_rev = params.nb_sampling_by_edge * k * w_rev / n_sub
@@ -429,7 +429,7 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
         local, mesh=mesh,
         in_specs=(P(), P("data", None), P("data", None), P("data", None),
                   P("data", None), P("data", None), P(), P(), P(), P()),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
 
@@ -468,7 +468,7 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     y0_r = jnp.asarray(y0, jnp.float32)[relabel]
 
     m_visit = p.nb_sampling_by_edge * k * w * n_groups / n_sub
-    w_rev, _ = reverse_edge_info(indices_r, w)
+    w_rev = reverse_edge_info(indices_r, w)
     m_rev = p.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
 
     neg_weight = None

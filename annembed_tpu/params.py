@@ -237,3 +237,10 @@ class KnnParams:
     #: propagate further per NN-descent round (recall@6 at 2M:
     #: 0.92 -> >=0.95 at comparable build time; see PERF.md).
     build_k_factor: float = 2.0
+    #: NN-descent candidate sampling fraction (Dong's rho-sampling):
+    #: each round joins over an independent per-node random subset of
+    #: rho*(k+rc) of the symmetrized neighbourhood, cutting the
+    #: dominant candidate-gather volume ~rho^2 per round.  1.0 = full
+    #: join; 0.4-0.6 with one extra round gives the same recall for
+    #: roughly half the build time at 11M (PERF.md round 3).
+    nndescent_rho: float = 1.0

@@ -3,7 +3,9 @@
 hubness moments, quality-estimate invariants.
 """
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from annembed_tpu.knn.brute import knn_graph_brute
 from annembed_tpu.graph.kgraph import KGraph
@@ -67,6 +69,66 @@ def test_quality_identity_embedding(rng):
     assert q.nb_without_match == 0
     assert q.mean_nb_matched == 6.0
     assert q.median_ratio <= 1.0
+
+
+def test_quality_exact_semantics_fixture():
+    """Pin the metric's exact semantics on a hand-computed fixture
+    (reference src/embedder.rs:620-753 match counting + ratio).
+
+    5 embedded points; original-graph neighbour lists chosen so that
+    nodes 0-2 conserve both edges, node 3 conserves one (its edge to
+    node 1 IS its embedded 2-NN radius: <= matches), and node 4
+    conserves none (both edge lengths exceed its radius 140.014).
+    """
+    y = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0],
+                  [10.0, 10.0], [100.0, 100.0]], np.float32)
+    indices = np.array([[1, 2], [0, 2], [0, 1], [0, 1], [0, 1]], np.int32)
+    # dists in the ORIGINAL space are irrelevant to the metric
+    g = KGraph(indices=jnp.asarray(indices),
+               dists=jnp.ones_like(jnp.asarray(y[:, :2])))
+    q = quality_estimate(g, y, nbng=2)
+    # embedded 2-NN radii: [2, sqrt5, sqrt5, d(3,1)=13.4536, 140.0143]
+    # matched counts: [2, 2, 2, 1, 0]
+    assert q.nb_without_match == 1
+    assert q.mean_nb_matched == pytest.approx(7.0 / 4.0)
+    # 10 edge ratios, middle two are both 1.0 (edges that hit their
+    # radius exactly)
+    assert q.median_ratio == pytest.approx(1.0, abs=1e-6)
+    assert q.mean_ratio == pytest.approx(0.890781, abs=1e-4)
+    assert q.frac_without_match == pytest.approx(0.2)
+    # radius q0.95 (linear interpolation over the exact 2-NN radii
+    # [2, sqrt5, sqrt5, 13.4536, 140.0143] at position 3.8)
+    assert q.radii_quantiles["q0.95"] == pytest.approx(114.702, rel=1e-3)
+
+
+def test_quality_sample_fraction_full_sample_matches():
+    """sample_fraction that rounds to m = n must reproduce the full
+    estimator exactly (exact-search radii == graph radii)."""
+    y = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0],
+                  [10.0, 10.0], [100.0, 100.0]], np.float32)
+    indices = np.array([[1, 2], [0, 2], [0, 1], [0, 1], [0, 1]], np.int32)
+    g = KGraph(indices=jnp.asarray(indices),
+               dists=jnp.ones_like(jnp.asarray(y[:, :2])))
+    q_full = quality_estimate(g, y, nbng=2)
+    q_samp = quality_estimate(g, y, nbng=2, sample_fraction=0.9999)
+    assert q_samp.nb_sampled == 5
+    assert q_samp.nb_without_match == q_full.nb_without_match
+    assert q_samp.mean_nb_matched == pytest.approx(q_full.mean_nb_matched)
+    assert q_samp.median_ratio == pytest.approx(q_full.median_ratio,
+                                                abs=1e-6)
+
+
+def test_quality_sample_fraction_subsample(rng):
+    """A genuine subsample stays statistically close to the full run."""
+    x = rng.normal(size=(600, 5)).astype(np.float32)
+    g = graph_of(x, k=6)
+    y = x[:, :2]
+    q_full = quality_estimate(g, y, nbng=10)
+    q_sub = quality_estimate(g, y, nbng=10, sample_fraction=0.5, seed=3)
+    assert q_sub.nb_sampled == 300
+    assert q_sub.sample_ids is not None and len(q_sub.sample_ids) == 300
+    assert abs(q_sub.mean_nb_matched - q_full.mean_nb_matched) < 1.0
+    assert abs(q_sub.frac_without_match - q_full.frac_without_match) < 0.15
 
 
 def test_quality_random_embedding_is_worse(rng):

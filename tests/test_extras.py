@@ -159,6 +159,45 @@ def test_nndescent_improves_degraded_graph(rng):
     assert r1 > 0.95, r1
 
 
+def test_nndescent_no_duplicate_neighbours(rng):
+    """Two candidate copies of the same node (reached via different
+    lists) must not both enter the merged top-k (dedup regression:
+    ~3% duplicate edges on clustered data before the id-sort mask)."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.knn.nndescent import nndescent_refine
+    centers = rng.normal(size=(12, 8)) * 3
+    x = (centers[rng.integers(0, 12, 2500)]
+         + 0.4 * rng.normal(size=(2500, 8))).astype(np.float32)
+    ai, ad = knn_graph_ivf(x, 8, nprobe=4, nlist=36)
+    for rho in (1.0, 0.5):
+        i2, d2 = nndescent_refine(x, ai, ad, n_rounds=2, rho=rho)
+        i2 = np.asarray(i2)
+        dups = sum(len(r) - len(set(r.tolist())) for r in i2)
+        assert dups == 0, (rho, dups)
+        assert (np.diff(np.asarray(d2), axis=1) >= -1e-6).all()
+
+
+def test_nndescent_rho_sampling_recall(rng):
+    """rho-sampled rounds converge to full-join recall with ~rho^-1
+    extra rounds (Dong's sampling); the sampled join must also beat
+    the unrefined graph decisively."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.knn.nndescent import nndescent_refine
+    from annembed_tpu.knn.api import recall_at_k
+    centers = rng.normal(size=(10, 8)) * 3
+    x = (centers[rng.integers(0, 10, 2500)]
+         + 0.4 * rng.normal(size=(2500, 8))).astype(np.float32)
+    exact_idx, _ = knn_graph_brute(x, k=8)
+    ai, ad = knn_graph_ivf(x, 8, nprobe=4, nlist=36)
+    r0 = recall_at_k(ai, exact_idx)
+    i_full, _ = nndescent_refine(x, ai, ad, n_rounds=2, rho=1.0)
+    i_samp, _ = nndescent_refine(x, ai, ad, n_rounds=4, rho=0.5)
+    r_full = recall_at_k(i_full, exact_idx)
+    r_samp = recall_at_k(i_samp, exact_idx)
+    assert r_samp > r0
+    assert r_samp > r_full - 0.02, (r0, r_full, r_samp)
+
+
 # --------------------------------------------------------------------------
 # single linkage
 # --------------------------------------------------------------------------

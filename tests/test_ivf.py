@@ -96,6 +96,62 @@ def test_ivf_tables_virtual_split(rng):
     assert ct.shape == (8, 64)
 
 
+def test_ivf_tables_device_impl_invariants(rng):
+    """The production device-side table builder (_ivf_tables_impl,
+    static shapes + decoupled qcap) must satisfy the build_ivf_tables
+    invariants across unbalanced cell distributions: every point placed
+    exactly once, correct virt_parent, capped candidate tables, and a
+    correct used-row count (the trailing rows are all-pad)."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.ivf import _ivf_tables_impl
+
+    for dist_kind in ("monster", "uniform", "empty_cells"):
+        if dist_kind == "monster":
+            cells = np.concatenate([np.zeros(700, np.int32),
+                                    rng.integers(1, 12, 150)])
+        elif dist_kind == "uniform":
+            cells = rng.integers(0, 12, 850)
+        else:  # some cells empty
+            cells = rng.choice([0, 3, 7], size=850)
+        cells = cells.astype(np.int32)
+        n, nlist, cap, qcap = len(cells), 12, 96, 64
+        v_static = nlist + n // qcap
+        vt, vp, ct, v_used = _ivf_tables_impl(
+            jnp.asarray(cells), nlist, cap, qcap, v_static)
+        vt, vp, ct = np.asarray(vt), np.asarray(vp), np.asarray(ct)
+        v_used = int(v_used)
+
+        # every point appears exactly once in the virtual query table
+        members = vt[vt < n]
+        assert len(members) == n
+        assert len(np.unique(members)) == n
+        # each virtual row's members all belong to its parent cell
+        for r in range(v_static):
+            ms = vt[r][vt[r] < n]
+            if len(ms):
+                assert (cells[ms] == vp[r]).all(), (dist_kind, r)
+        # candidate table: capped, and members belong to the right cell
+        assert ct.shape == (nlist, cap)
+        counts = np.bincount(cells, minlength=nlist)
+        for c in range(nlist):
+            cm = ct[c][ct[c] < n]
+            assert len(cm) == min(counts[c], cap)
+            assert (cells[cm] == c).all()
+        # used-row count: rows < v_used hold all real members, rows
+        # beyond are pure padding
+        expected_rows = np.maximum(1, -(-counts // qcap)).sum()
+        assert v_used == expected_rows
+        assert (vt[v_used:] == n).all()
+        assert (vt[:v_used, 0] < n).sum() >= (counts > 0).sum()
+
+        # parity with the host-side builder on the same qcap==cap case
+        from annembed_tpu.knn.ivf import build_ivf_tables
+        vt2, vp2, ct2 = build_ivf_tables(cells.astype(np.int64), nlist,
+                                         n, cap=qcap)
+        m2 = vt2[vt2 < n]
+        assert sorted(m2.tolist()) == sorted(members.tolist())
+
+
 def test_ivf_unbalanced_lowdim(rng):
     """2-D clustered data (the embedded-space quality case that
     overflowed memory before virtual splitting)."""
