@@ -69,7 +69,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           graph_cache: Optional[str] = None,
           graph_cache_eager: bool = False,
           quality_fraction: float = 1.0,
-          quality_nbng: int = 50):
+          quality_nbng: int = 50,
+          return_graph: bool = False):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
     bin/embed.rs main flow :402-444).
 
@@ -112,6 +113,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
         proj = build_projection(x, nbng, sample_fraction=hierarchy_fraction,
                                 distance=distance, params=knn_params,
                                 seed=seed)
+        graph_build_time = time.perf_counter() - t0
         emb = Embedder.from_hkgraph(proj, params)
     else:
         # graph checkpoint/resume: the TPU analogue of the reference's
@@ -128,6 +130,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
                 save_kgraph(graph_cache, g)
                 logger.info("eagerly saved kNN graph checkpoint to %s",
                             graph_cache)
+        graph_build_time = time.perf_counter() - t0
         emb = Embedder.new(g, params)
     # ORDER MATTERS: every device phase (embed, then the quality
     # estimator's second kNN build) runs before the first device->host
@@ -140,7 +143,10 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             nbng=quality_nbng, sample_fraction=quality_fraction)
     y = np.asarray(y_dev)
     info = _finalize_info(emb.info)
+    info["graph_build_time"] = graph_build_time
     info["total_time"] = time.perf_counter() - t0
+    if return_graph:
+        info["kgraph"] = emb.get_kgraph()
     if layer <= 0 and graph_cache:
         import os
         if not os.path.exists(graph_cache):

@@ -34,6 +34,9 @@ def _common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--nlist", type=int, default=0,
                    help="IVF centroids (0 = auto sqrt(n))")
     p.add_argument("--nprobe", type=int, default=16)
+    p.add_argument("--rho", type=float, default=1.0,
+                   help="NN-descent candidate sampling fraction "
+                        "(Dong's rho-sampling; 1 = full join)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
 
@@ -53,24 +56,36 @@ def main_embed(argv=None) -> int:
     p.add_argument("--scale", type=float, default=1.0, help="scale_rho")
     p.add_argument("--quality", action="store_true",
                    help="compute the neighborhood-conservation estimate")
+    p.add_argument("--quality-nbng", type=int, default=50,
+                   help="embedded neighbourhood size for --quality")
+    p.add_argument("--quality-fraction", type=float, default=1.0,
+                   help="query-node subsample for --quality (exact "
+                        "radii; reference io.rs:197-199 sampling)")
     p.add_argument("--stats", action="store_true",
                    help="intrinsic dimension + hubness statistics "
                         "(reference bin/embed.rs optional stats)")
     p.add_argument("--graph-cache", default=None,
                    help="save/load the kNN graph (npz)")
+    p.add_argument("--graph-cache-eager", action="store_true",
+                   help="save the graph right after the build "
+                        "(crash-safe, like the reference HnswIo dump)")
     args = p.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING)
 
     kp = KnnParams(knbn=args.nbng, distance=args.distance,
-                   nlist=args.nlist, nprobe=args.nprobe)
+                   nlist=args.nlist, nprobe=args.nprobe,
+                   nndescent_rho=args.rho)
     y, info = embed(args.csv, outfile=args.outfile, dim=args.dim,
                     batch=args.batch, nbsample=args.nbsample,
                     layer=args.layer, hierarchy_fraction=args.fraction,
                     scale=args.scale, quality_sampling=args.sampling,
                     distance=args.distance, nbng=args.nbng, knn_params=kp,
                     with_quality=args.quality, delim=args.delim,
-                    seed=args.seed, graph_cache=args.graph_cache)
+                    seed=args.seed, graph_cache=args.graph_cache,
+                    graph_cache_eager=args.graph_cache_eager,
+                    quality_nbng=args.quality_nbng,
+                    quality_fraction=args.quality_fraction)
     out = {"n": int(y.shape[0]), "dim": int(y.shape[1]),
            **{k: v for k, v in info.items()
               if isinstance(v, (int, float, dict))}}
@@ -106,7 +121,8 @@ def main_dmapembed(argv=None) -> int:
         level=logging.INFO if args.verbose else logging.WARNING)
 
     kp = KnnParams(knbn=args.nbng, distance=args.distance,
-                   nlist=args.nlist, nprobe=args.nprobe)
+                   nlist=args.nlist, nprobe=args.nprobe,
+                   nndescent_rho=args.rho)
     y, info = dmap_embed(args.csv, outfile=args.outfile, dim=args.dim,
                          alfa=args.alfa, beta=args.beta,
                          time_param=args.time_param,

@@ -6,13 +6,20 @@ HNSW (max_conn=12, ef_c=400, level_scale=0.75, blocked insert) ->
 hierarchical embed (batch=40, grad_factor=5, scale_rho=0.75,
 hubness_weighting=true) -> quality.  Reference wall: ~2 h.
 
-TPU flow: native CSV load -> IVF kNN graph -> hierarchical two-level
-embedding -> quality; graph checkpoint/resume replaces the HnswIo dump
-(higgs.rs:397-474): pass --graph-cache to save/load the (n, k) kNN
-arrays with np.savez.
+TPU flow: native CSV load -> IVF kNN graph (+ rho-sampled NN-descent)
+-> hierarchical two-level embedding -> quality; graph
+checkpoint/resume replaces the HnswIo dump (higgs.rs:397-474): pass
+--graph-cache to save/load the (n, k) kNN arrays with np.savez.
 
 Falls back to synthetic 28-dim data with --synthetic N when no CSV is
 available (zero-egress container).
+
+--json emits ONE machine-readable line with phase timings, build-graph
+recall@k vs exact (sampled queries, chunked exact search over the full
+corpus) and the neighborhood-conservation summary — the reproducible
+form of the PERF.md 11M table:
+
+  python examples/higgs.py --synthetic 11000000 --quality --json
 """
 
 from __future__ import annotations
@@ -30,6 +37,36 @@ import time
 import numpy as np
 
 
+def synthetic_higgs(n_s: int, seed: int = 7) -> np.ndarray:
+    """32-cluster 8-d latent manifold lifted to 28 dims: featureless
+    blobs embed degenerately in 2-D (any method), clustered data
+    exercises the quality estimator meaningfully."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(32, 8)).astype(np.float32) * 4.0
+    latent = (centers[rng.integers(0, 32, n_s)]
+              + rng.normal(size=(n_s, 8)).astype(np.float32))
+    lift = rng.normal(size=(8, 28)).astype(np.float32)
+    return (latent @ lift
+            + 0.3 * rng.normal(size=(n_s, 28)).astype(np.float32))
+
+
+def build_graph_recall(x, g, sample: int = 2000, seed: int = 11) -> float:
+    """recall@k of the build graph vs exact, on `sample` random rows
+    (exact side = chunked brute search over the FULL corpus)."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.brute import knn_search_brute
+    from annembed_tpu.knn.api import recall_at_k
+    n, k = g.indices.shape
+    rng = np.random.default_rng(seed)
+    sub = np.sort(rng.choice(n, size=min(sample, n), replace=False)
+                  ).astype(np.int32)
+    ei, _ = knn_search_brute(jnp.asarray(x)[sub], x, k=k + 1)
+    ei = np.asarray(ei)
+    not_self = ei != sub[:, None]
+    exact = np.stack([row[m][:k] for row, m in zip(ei, not_self)])
+    return recall_at_k(np.asarray(g.indices)[sub], exact)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None, help="HIGGS.csv path")
@@ -45,6 +82,21 @@ def main():
                     help="diffusion-maps variant (dim=5, alfa=1, beta=0, "
                          "gnbn=8; higgs.rs:488-502)")
     ap.add_argument("--quality", action="store_true")
+    ap.add_argument("--quality-nbng", type=int, default=100,
+                    help="embedded neighbourhood size (reference Higgs "
+                         "table uses 100, README.md:148-160)")
+    ap.add_argument("--quality-fraction", type=float, default=0.0,
+                    help="query-node subsample for the quality estimate; "
+                         "0 = auto (min(1, 200k/n))")
+    ap.add_argument("--recall-sample", type=int, default=2000,
+                    help="rows for the build-graph recall check "
+                         "(0 = skip)")
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--refine-rounds", type=int, default=3)
+    ap.add_argument("--rho", type=float, default=0.5,
+                    help="NN-descent candidate sampling fraction")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one machine-readable result line")
     ap.add_argument("--out", default="higgs_embedded.csv")
     args = ap.parse_args()
 
@@ -52,17 +104,7 @@ def main():
     from annembed_tpu.params import EmbedderParams, KnnParams
 
     if args.synthetic:
-        rng = np.random.default_rng(7)
-        n_s = args.synthetic
-        # 32-cluster 8-d latent manifold lifted to 28 dims: featureless
-        # blobs embed degenerately in 2-D (any method), clustered data
-        # exercises the quality estimator meaningfully
-        centers = rng.normal(size=(32, 8)).astype(np.float32) * 4.0
-        latent = (centers[rng.integers(0, 32, n_s)]
-                  + rng.normal(size=(n_s, 8)).astype(np.float32))
-        lift = rng.normal(size=(8, 28)).astype(np.float32)
-        x = latent @ lift + 0.3 * rng.normal(
-            size=(n_s, 28)).astype(np.float32)
+        x = synthetic_higgs(args.synthetic)
     else:
         from annembed_tpu.io.csv_io import get_toembed_from_csv
         x = get_toembed_from_csv(args.csv, subsample=args.sampling)
@@ -70,24 +112,47 @@ def main():
     # z-score rescale (higgs.rs:158-176)
     x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-12)
     x = x.astype(np.float32)
-    print(f"data: {x.shape}")
+    n = x.shape[0]
+    print(f"data: {x.shape}", file=sys.stderr, flush=True)
+
+    qfrac = args.quality_fraction or min(1.0, 200_000 / max(n, 1))
 
     t0 = time.perf_counter()
     if args.dmap:
         y, info = at.dmap_embed(x, dim=5, alfa=1.0, beta=0.0, nbng=8)
+        g = None
     else:
         # bf16 IVF join panels: identical recall (exact L2 rerank in the
-        # join), ~1.2x faster at 11M
-        kp = KnnParams(knbn=args.nbng, nprobe=16, dtype="bfloat16")
+        # join), ~1.2x faster at 11M; rho-sampled NN-descent rounds
+        kp = KnnParams(knbn=args.nbng, nprobe=args.nprobe,
+                       dtype="bfloat16", refine_rounds=args.refine_rounds,
+                       nndescent_rho=args.rho)
         y, info = at.embed(
             x, dim=args.dim, batch=40, nbng=args.nbng, layer=1,
             hierarchy_fraction=args.fraction, scale=0.75,
             knn_params=kp, with_quality=args.quality,
+            quality_nbng=args.quality_nbng, quality_fraction=qfrac,
+            graph_cache=args.graph_cache, return_graph=True,
             params=EmbedderParams(grad_factor=5, hubness_weighting=True))
-    print(json.dumps({"wall_s": round(time.perf_counter() - t0, 1),
-                      **{k: v for k, v in info.items()
-                         if isinstance(v, (int, float, dict))}},
-                     default=float))
+        g = info.pop("kgraph", None)
+    wall = time.perf_counter() - t0
+
+    recall = None
+    if g is not None and args.recall_sample > 0:
+        recall = build_graph_recall(x, g, sample=args.recall_sample)
+
+    rec = {"n": n, "wall_s": round(wall, 1),
+           **{k: (round(v, 2) if isinstance(v, float) else v)
+              for k, v in info.items()
+              if isinstance(v, (int, float, dict))}}
+    if recall is not None:
+        rec[f"recall@{args.nbng}"] = round(recall, 4)
+        rec["recall_sample"] = args.recall_sample
+    if args.quality:
+        rec["quality_fraction"] = round(qfrac, 4)
+        rec["quality_nbng"] = args.quality_nbng
+    out_line = json.dumps(rec, default=float)
+    print(out_line, flush=True)
     from annembed_tpu.io.csv_io import write_csv_array2
     write_csv_array2(args.out, y)
 

@@ -25,11 +25,31 @@ import numpy as np
 def load_data(data_dir: str | None):
     if data_dir and Path(data_dir).exists():
         from annembed_tpu.io.mnist_io import load_mnist_full
-        return load_mnist_full(data_dir)
+        return load_mnist_full(data_dir), True
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import synthetic_mnist
     x = synthetic_mnist()
-    return x, np.zeros(len(x), np.int64)
+    return (x, np.zeros(len(x), np.int64)), False
+
+
+def check_expectations(got: dict, expected: dict, tol_rel: float = 0.25):
+    """Diff produced metrics against the reference's recorded rows
+    (BASELINE.md); returns the list of out-of-band keys.  Tolerances
+    are wide — the metric is stochastic (sampled SGD) and the
+    reference records a single run."""
+    failures = []
+    for key, ref in expected.items():
+        val = got.get(key)
+        if val is None:
+            failures.append(f"{key}: missing")
+            continue
+        band = abs(ref) * tol_rel
+        status = "ok" if abs(val - ref) <= band else "OUT-OF-BAND"
+        print(f"expect {key}: got {val:.4g} vs reference {ref:.4g} "
+              f"(+-{band:.3g}) {status}", file=sys.stderr, flush=True)
+        if status != "ok":
+            failures.append(key)
+    return failures
 
 
 def main():
@@ -38,11 +58,14 @@ def main():
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--out", default="mnist_digits_embedded.csv")
     ap.add_argument("--plot", default=None)
+    ap.add_argument("--expect", action="store_true",
+                    help="diff the run against the reference's recorded "
+                         "numbers (requires the real IDX files)")
     args = ap.parse_args()
 
     import annembed_tpu as at
 
-    x, labels = load_data(args.data_dir)
+    (x, labels), is_real = load_data(args.data_dir)
     t0 = time.perf_counter()
     # reference params: knbn=6, batch=30 (examples/mnist_digits.rs:93-123)
     y, info = at.embed(x, dim=args.dim, nbng=6, batch=30,
@@ -57,6 +80,18 @@ def main():
         "intrinsic_dim": [round(dim_mean, 2), round(dim_sigma, 2)],
         "hubness_skew": round(hub.get_standard3m(), 3),
     }, default=float))
+    if args.expect:
+        if not is_real:
+            print("--expect needs the real MNIST IDX files (synthetic "
+                  "fallback active); reference rows are recorded for "
+                  "the real data only", file=sys.stderr)
+            sys.exit(2)
+        # reference: intrinsic dim 18.5 +- 7.2 (README.md:102-103),
+        # wall 11 s on a 24-core i9 (README.md:92; informational)
+        failures = check_expectations(
+            {"intrinsic_dim_mean": dim_mean},
+            {"intrinsic_dim_mean": 18.5})
+        sys.exit(1 if failures else 0)
     from annembed_tpu.io.csv_io import write_csv_labeled_array2
     write_csv_labeled_array2(args.out, labels, y)
     if args.plot:

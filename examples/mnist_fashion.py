@@ -16,7 +16,16 @@ import argparse
 import json
 import time
 
-from mnist_digits import load_data
+from mnist_digits import load_data, check_expectations
+
+#: the reference's recorded fashion quality rows (src/embedder.rs:588-615,
+#: BASELINE.md): nbng=50, dim -> (no-match, conserved of 6, median ratio)
+REFERENCE_QUALITY = {
+    2: {"nb_without_match": 20260.0, "mean_nb_matched": 5.07,
+        "median_ratio": 0.746},
+    15: {"nb_without_match": 9124.0, "mean_nb_matched": 5.59,
+         "median_ratio": 0.436},
+}
 
 
 def main():
@@ -24,11 +33,14 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--out", default="mnist_fashion_embedded.csv")
+    ap.add_argument("--expect", action="store_true",
+                    help="diff the produced quality quantiles against the "
+                         "reference's recorded rows (real IDX data only)")
     args = ap.parse_args()
 
     import annembed_tpu as at
 
-    x, labels = load_data(args.data_dir)
+    (x, labels), is_real = load_data(args.data_dir)
     t0 = time.perf_counter()
     # reference params: knbn=12, batch=25 (examples/mnist_fashion.rs:92-124)
     y, info = at.embed(x, dim=args.dim, nbng=12, batch=25,
@@ -37,6 +49,18 @@ def main():
                       "quality": info["quality"]}, default=float))
     from annembed_tpu.io.csv_io import write_csv_labeled_array2
     write_csv_labeled_array2(args.out, labels, y)
+    if args.expect:
+        if not is_real:
+            print("--expect needs the real fashion-MNIST IDX files "
+                  "(synthetic fallback active)", file=sys.stderr)
+            sys.exit(2)
+        expected = REFERENCE_QUALITY.get(args.dim)
+        if expected is None:
+            print(f"no reference row recorded for dim={args.dim} "
+                  f"(have {sorted(REFERENCE_QUALITY)})", file=sys.stderr)
+            sys.exit(2)
+        failures = check_expectations(info["quality"], expected)
+        sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,86 @@ def test_sharded_knn_matches_single(rng, mesh):
     assert agree > 0.97
 
 
+def test_sharded_brute_exact_parity(rng, mesh):
+    """The sharded brute build (panel + top-k + exact rerank) must equal
+    the single-chip graph EXACTLY — same math, rows partitioned."""
+    from annembed_tpu.parallel.sharded_knn import sharded_knn_graph_brute
+    x = jnp.asarray(rng.normal(size=(300, 12)).astype(np.float32))
+    idx_s, dist_s = sharded_knn_graph_brute(x, 6, mesh, block_rows=64)
+    idx_1, dist_1 = knn_graph_brute(x, 6, block_rows=64)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
+    np.testing.assert_allclose(np.asarray(dist_s), np.asarray(dist_1),
+                               atol=1e-6)
+
+
+def test_sharded_brute_non_l2(rng, mesh):
+    from annembed_tpu.parallel.sharded_knn import sharded_knn_graph_brute
+    x = np.abs(rng.normal(size=(200, 10)).astype(np.float32)) + 0.05
+    x /= x.sum(1, keepdims=True)
+    for metric in ("DistCosine", "DistL1", "DistJensenShannon"):
+        idx_s, dist_s = sharded_knn_graph_brute(jnp.asarray(x), 5, mesh,
+                                                distance=metric,
+                                                block_rows=32)
+        idx_1, dist_1 = knn_graph_brute(x, 5, distance=metric,
+                                        block_rows=32)
+        agree = (np.asarray(idx_s) == np.asarray(idx_1)).mean()
+        assert agree > 0.99, (metric, agree)
+        np.testing.assert_allclose(np.asarray(dist_s),
+                                   np.asarray(dist_1), atol=1e-5)
+
+
+def test_sharded_ivf_join_parity(rng, mesh):
+    """Sharded IVF local join == single-chip IVF graph (same quantizer
+    seeds; only the join rows are distributed)."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.parallel.sharded_knn import sharded_knn_graph_ivf
+    centers = rng.normal(size=(10, 8)) * 4
+    x = (centers[rng.integers(0, 10, 2000)]
+         + 0.5 * rng.normal(size=(2000, 8))).astype(np.float32)
+    i1, d1 = knn_graph_ivf(x, 6, nlist=24, nprobe=6)
+    i2, d2 = sharded_knn_graph_ivf(x, 6, mesh, nlist=24, nprobe=6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+
+
+def test_sharded_nndescent_parity(rng, mesh):
+    """Sharded NN-descent rounds == single-chip rounds (same sampling
+    seeds), including rho-sampling and bf16 scoring + exact rerank."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.knn.nndescent import nndescent_refine
+    from annembed_tpu.parallel.sharded_knn import sharded_nndescent_refine
+    centers = rng.normal(size=(8, 8)) * 4
+    x = (centers[rng.integers(0, 8, 1500)]
+         + 0.5 * rng.normal(size=(1500, 8))).astype(np.float32)
+    ai, ad = knn_graph_ivf(x, 6, nlist=20, nprobe=5)
+    for kwargs in ({"n_rounds": 2},
+                   {"n_rounds": 2, "rho": 0.5},
+                   {"n_rounds": 1, "dtype": "bfloat16"}):
+        i1, d1 = nndescent_refine(x, ai, ad, **kwargs)
+        i2, d2 = sharded_nndescent_refine(x, ai, ad, mesh, **kwargs)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   atol=1e-6)
+
+
+def test_sharded_build_kgraph_dispatch(rng, mesh):
+    """The sharded dispatcher (brute/IVF + refine) == single-chip
+    build_kgraph on both sides of the brute_force_limit."""
+    from annembed_tpu.knn.api import build_kgraph
+    from annembed_tpu.params import KnnParams
+    from annembed_tpu.parallel.sharded_knn import sharded_build_kgraph
+    centers = rng.normal(size=(8, 8)) * 4
+    x = (centers[rng.integers(0, 8, 1600)]
+         + 0.5 * rng.normal(size=(1600, 8))).astype(np.float32)
+    for kp in (KnnParams(knbn=6),
+               KnnParams(knbn=6, brute_force_limit=500, nlist=20,
+                         nprobe=5, refine_rounds=2, nndescent_rho=0.5)):
+        g1 = build_kgraph(x, 6, params=kp)
+        g2 = sharded_build_kgraph(x, 6, mesh, params=kp)
+        np.testing.assert_array_equal(np.asarray(g2.indices),
+                                      np.asarray(g1.indices))
+
+
 def test_sharded_train_step(rng, mesh):
     x = rng.normal(size=(256, 8)).astype(np.float32)
     idx, dist = knn_graph_brute(x, k=5)
