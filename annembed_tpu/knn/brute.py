@@ -48,9 +48,10 @@ def _exact_l2_rerank(q, x, cand_idx, k, self_ids=None):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
-                                             "dtype_name"))
+                                             "dtype_name",
+                                             "topk_recall"))
 def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
-              dtype_name: str):
+              dtype_name: str, topk_recall: float = 0.0):
     n, d = x.shape
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     panel_fn = get_panel_fn(distance)
@@ -71,7 +72,16 @@ def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
         # mask the self column per row
         col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
         dist = jnp.where(col == ids[:, None], jnp.inf, dist)
-        neg_d, idx = jax.lax.top_k(-dist, kk)
+        if topk_recall > 0.0:
+            # TPU-native partial-reduction top-k (ApproxTopK): much
+            # faster than the sort-based exact lowering; the k+extra
+            # oversampling + exact rerank keeps the final top-k recall
+            # well above the per-candidate recall_target
+            neg_d, idx = jax.lax.approx_max_k(
+                -dist, kk, recall_target=topk_recall,
+                aggregate_to_topk=True)
+        else:
+            neg_d, idx = jax.lax.top_k(-dist, kk)
         if rerank:
             return _exact_l2_rerank(q, x, idx, k, self_ids=ids)
         return idx.astype(jnp.int32), -neg_d
@@ -83,16 +93,21 @@ def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
 
 
 def knn_graph_brute(x, k: int, distance: str = "DistL2",
-                    block_rows: int = 1024, dtype: str = "float32"):
+                    block_rows: int = 1024, dtype: str = "float32",
+                    topk_recall: float = 0.0):
     """Exact k nearest neighbours of every row of ``x`` (self excluded).
 
     Returns ``(indices, dists)`` of shape (n, k), distances ascending.
+    ``topk_recall`` > 0 switches candidate selection to the TPU
+    ApproxTopK reduction at that per-candidate recall target (final
+    lists still exact-reranked for DistL2); 0 = exact sort-based top-k.
     """
     n = x.shape[0]
     if k >= n:
         raise ValueError(f"k={k} must be < n={n}")
     block_rows = min(block_rows, max(8, n))
-    return _knn_impl(jnp.asarray(x), k, distance, block_rows, dtype)
+    return _knn_impl(jnp.asarray(x), k, distance, block_rows, dtype,
+                     topk_recall)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",

@@ -20,7 +20,7 @@ Output protocol (driver-budget hardened after round 2's rc=124):
   * watchdog: at the SOFT deadline (ANNEMBED_BENCH_DEADLINE_S, default
     540 s) the best available record is printed so even an external
     kill leaves a parseable tail; the run then keeps trying for the
-    honest number until the HARD deadline (+300 s) and exits 0.  The
+    honest number until the HARD deadline (+480 s) and exits 0.  The
     driver's own timeout may strike anywhere — every state leaves the
     best record printed so far in the tail.
 
@@ -62,7 +62,7 @@ NB_GRAD_BATCH = 30
 BASELINE_WALL_S = 11.0  # reference README.md:92 (i9 24c/32t)
 DEADLINE_S = float(os.environ.get("ANNEMBED_BENCH_DEADLINE_S", "540"))
 HARD_DEADLINE_S = DEADLINE_S + float(
-    os.environ.get("ANNEMBED_BENCH_GRACE_S", "300"))
+    os.environ.get("ANNEMBED_BENCH_GRACE_S", "480"))
 
 T_START = time.monotonic()
 _STATE: dict = {"fallback_printed": False, "wall": None, "cold_wall": None,
@@ -156,7 +156,12 @@ def synthetic_mnist(n=N, d=D, seed=42) -> np.ndarray:
     lift = rng.normal(size=(latent_dim, d)) / np.sqrt(latent_dim)
     x = z @ lift + 0.05 * rng.normal(size=(n, d))
     x = (x - x.min()) / (x.max() - x.min()) * 255.0
-    return x.astype(np.float32)
+    # quantize to uint8 like real MNIST pixels: the host->device upload
+    # rides the (slow) tunnel — 55 MB instead of 220 MB (measured
+    # ~200 s for the f32 upload on 2026-08-17); converted to f32 on
+    # device.  Round-2 quality fields were recorded on the unquantized
+    # values — sub-1% drift expected.
+    return np.round(x).astype(np.uint8)
 
 
 def run_once(x, sync_element=False):
@@ -214,7 +219,7 @@ def main():
     import jax.numpy as jnp
     _note(f"devices: {jax.devices()}")
 
-    x = jnp.asarray(synthetic_mnist())
+    x = jnp.asarray(synthetic_mnist()).astype(jnp.float32)
 
     # cold pass: compiles + first-dispatch costs (NOT honest wall —
     # pre-channel acks can be lazy; recorded only as a fallback)
@@ -233,7 +238,7 @@ def main():
         _note("channel never came up; emitting cold-pass fallback")
         _print_fallback()
         _STATE["done"] = True
-        return
+        os._exit(0)
 
     # drain any lazily-queued cold-pass work so the timed pass starts
     # from an idle device
@@ -255,13 +260,13 @@ def main():
         _note(f"skipping quality section ({hard_left:.0f}s to hard "
               "deadline)")
         _STATE["done"] = True
-        return
+        os._exit(0)
     _note("quality section")
     if not np.isfinite(np.asarray(y)).all():
         print(_headline(wall, {"error": "non-finite embedding"}),
               flush=True)
         _STATE["done"] = True
-        return
+        os._exit(0)
     from annembed_tpu.knn.brute import knn_search_brute
     from annembed_tpu.knn.api import recall_at_k
     from annembed_tpu.estimators.quality import quality_estimate
@@ -281,6 +286,11 @@ def main():
         "channel_s": round(_STATE["channel_s"] or -1.0, 1),
     }), flush=True)
     _STATE["done"] = True
+    # hard-exit: a normal return aborts in PJRT C++ teardown (rc 134)
+    # if the channel thread is still blocked in a readback
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -159,6 +159,7 @@ def test_nndescent_improves_degraded_graph(rng):
     assert r1 > 0.95, r1
 
 
+@pytest.mark.slow
 def test_nndescent_no_duplicate_neighbours(rng):
     """Two candidate copies of the same node (reached via different
     lists) must not both enter the merged top-k (dedup regression:
@@ -177,6 +178,7 @@ def test_nndescent_no_duplicate_neighbours(rng):
         assert (np.diff(np.asarray(d2), axis=1) >= -1e-6).all()
 
 
+@pytest.mark.slow
 def test_nndescent_rho_sampling_recall(rng):
     """rho-sampled rounds converge to full-join recall with ~rho^-1
     extra rounds (Dong's sampling); the sampled join must also beat

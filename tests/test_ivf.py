@@ -6,6 +6,7 @@ recall@k on both clustered and uniform synthetic data.
 """
 
 import numpy as np
+import pytest
 
 from annembed_tpu.knn.brute import knn_graph_brute
 from annembed_tpu.knn.ivf import knn_graph_ivf, build_member_table
@@ -33,6 +34,7 @@ def test_kmeans_reduces_inertia(rng):
     assert inertia < 0.9 * x.var() * x.size
 
 
+@pytest.mark.slow
 def test_ivf_recall_clustered(rng):
     centers = rng.normal(size=(20, 10)) * 10
     x = (centers[rng.integers(0, 20, 4000)]
@@ -45,6 +47,7 @@ def test_ivf_recall_clustered(rng):
     assert (np.diff(d, axis=1) >= -1e-6).all()
 
 
+@pytest.mark.slow
 def test_ivf_recall_uniform(rng):
     x = rng.random(size=(3000, 6)).astype(np.float32)
     exact_idx, _ = knn_graph_brute(x, k=8)
@@ -53,6 +56,7 @@ def test_ivf_recall_uniform(rng):
     assert rec > 0.9, f"recall {rec}"
 
 
+@pytest.mark.slow
 def test_ivf_no_self_edges(rng):
     x = rng.normal(size=(1500, 5)).astype(np.float32)
     idx, _ = knn_graph_ivf(x, k=6, nlist=16, nprobe=6)
@@ -60,6 +64,7 @@ def test_ivf_no_self_edges(rng):
     assert not (np.asarray(idx) == rows).any()
 
 
+@pytest.mark.slow
 def test_ivf_plus_nndescent_via_api(rng):
     from annembed_tpu.params import KnnParams
     from annembed_tpu.knn.api import build_kgraph
@@ -152,6 +157,7 @@ def test_ivf_tables_device_impl_invariants(rng):
         assert sorted(m2.tolist()) == sorted(members.tolist())
 
 
+@pytest.mark.slow
 def test_ivf_unbalanced_lowdim(rng):
     """2-D clustered data (the embedded-space quality case that
     overflowed memory before virtual splitting)."""
@@ -167,6 +173,7 @@ def test_ivf_unbalanced_lowdim(rng):
     assert rec > 0.8, rec
 
 
+@pytest.mark.slow
 def test_ivf_all_metrics_recall(rng):
     """IVF + metric-aware NN-descent serves all five reference metrics
     (bin/embed.rs:546-565); recall vs the exact brute graph in the SAME

@@ -4,6 +4,7 @@ reference's mini_embed_full, embedder.rs:1435-1467), hierarchical path.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -133,6 +134,7 @@ def test_set_data_box():
     np.testing.assert_allclose(out.mean(0), 0.0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_h_embed(rng):
     from annembed_tpu.knn.hierarchy import build_projection
     x, labels = blobs(rng, n_per=150, d=8)

@@ -63,6 +63,7 @@ def test_sharded_brute_non_l2(rng, mesh):
                                    np.asarray(dist_1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_join_parity(rng, mesh):
     """Sharded IVF local join == single-chip IVF graph (same quantizer
     seeds; only the join rows are distributed)."""
@@ -77,6 +78,7 @@ def test_sharded_ivf_join_parity(rng, mesh):
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_nndescent_parity(rng, mesh):
     """Sharded NN-descent rounds == single-chip rounds (same sampling
     seeds), including rho-sampling and bf16 scoring + exact rerank."""
@@ -97,6 +99,7 @@ def test_sharded_nndescent_parity(rng, mesh):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_build_kgraph_dispatch(rng, mesh):
     """The sharded dispatcher (brute/IVF + refine) == single-chip
     build_kgraph on both sides of the brute_force_limit."""
@@ -134,6 +137,7 @@ def test_sharded_train_step(rng, mesh):
     np.testing.assert_array_equal(y1, y1b)
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
