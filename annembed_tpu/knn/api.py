@@ -26,7 +26,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
     if n <= params.brute_force_limit:
         idx, dist = knn_graph_brute(x, knbn, distance=distance,
                                     block_rows=params.block_rows,
-                                    dtype=params.dtype)
+                                    dtype=params.dtype,
+                                    topk_recall=params.topk_recall)
     else:
         from .ivf import knn_graph_ivf
         # enlarged build-k: construct and refine at build_k_factor * k,
@@ -39,7 +40,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
             kb = max(knbn + 1, int(round(knbn * params.build_k_factor)))
         idx, dist = knn_graph_ivf(x, kb, distance=distance,
                                   nlist=params.nlist, nprobe=params.nprobe,
-                                  dtype=params.dtype)
+                                  dtype=params.dtype,
+                                  topk_recall=params.topk_recall)
         if params.refine_rounds > 0:
             from .nndescent import nndescent_refine
             idx, dist = nndescent_refine(x, idx, dist,

@@ -150,15 +150,18 @@ def _ivf_tables_impl(cells, nlist: int, cap: int, qcap: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name",
-                                             "distance"))
+                                             "distance", "topk_recall"))
 def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
               k: int, nprobe: int, dtype_name: str,
-              distance: str = "DistL2"):
+              distance: str = "DistL2", topk_recall: float = 0.0):
     """For each virtual query row: exact kNN of its points within the
     probed cells' candidate lists.
 
     x_pad: (n+1, d) with a zero pad row.  Returns idx/dist (V, cap, k)
-    aligned with virt_table.
+    aligned with virt_table.  ``topk_recall`` > 0 selects candidates
+    with the TPU ApproxTopK reduction at that recall target (the small
+    per-row recall loss is recovered by the NN-descent refinement that
+    follows the join in the production pipeline).
     """
     from .distances import get_panel_fn
     n = x_pad.shape[0] - 1
@@ -174,7 +177,12 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
         dist = panel_fn(q, xc, dtype=dtype)       # (cap, nprobe*cap)
         invalid = (cand[None, :] == members[:, None]) | (cand[None, :] >= n)
         dist = jnp.where(invalid, jnp.inf, dist)
-        neg_d, pos = jax.lax.top_k(-dist, k)
+        if topk_recall > 0.0:
+            neg_d, pos = jax.lax.approx_max_k(
+                -dist, k, recall_target=topk_recall,
+                aggregate_to_topk=True)
+        else:
+            neg_d, pos = jax.lax.top_k(-dist, k)
         idx = cand[pos]                           # (cap, k)
         out_d = -neg_d
         if distance == "DistL2":
@@ -200,7 +208,7 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
 def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                   nprobe: int = 32, dtype: str = "float32",
                   kmeans_iter: int = 10, seed: int = 0,
-                  sample_size: int = 500_000):
+                  sample_size: int = 500_000, topk_recall: float = 0.0):
     """Approximate kNN graph via IVF local join.  Returns (idx, dist).
 
     All five reference metrics are served (bin/embed.rs:546-565): the
@@ -277,7 +285,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                      constant_values=n)
         vp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
         it, dt = _ivf_join(x_pad, vt, vp, cand_table, cell_nbrs, k,
-                           nprobe, dtype, distance)
+                           nprobe, dtype, distance, topk_recall)
         members = vt.reshape(-1)
         idx = idx.at[members].set(it.reshape(-1, k), mode="drop")
         dist = dist.at[members].set(dt.reshape(-1, k), mode="drop")

@@ -237,6 +237,11 @@ class KnnParams:
     #: propagate further per NN-descent round (recall@6 at 2M:
     #: 0.92 -> >=0.95 at comparable build time; see PERF.md).
     build_k_factor: float = 2.0
+    #: > 0 selects top-k candidates with the TPU ApproxTopK reduction
+    #: at this per-row recall target instead of the (slow, sort-based)
+    #: exact top-k; exact rerank / NN-descent refinement recover the
+    #: small loss.  0 = exact.
+    topk_recall: float = 0.0
     #: NN-descent candidate sampling fraction (Dong's rho-sampling):
     #: each round joins over an independent per-node random subset of
     #: rho*(k+rc) of the symmetrized neighbourhood, cutting the
