@@ -110,9 +110,20 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
 
     t0 = time.perf_counter()
     if layer > 0:
-        proj = build_projection(x, nbng, sample_fraction=hierarchy_fraction,
-                                distance=distance, params=knn_params,
-                                seed=seed)
+        import os
+        if graph_cache and os.path.exists(graph_cache):
+            from .io.checkpoint import load_projection
+            proj = load_projection(graph_cache)
+            logger.info("loaded projection checkpoint from %s",
+                        graph_cache)
+        else:
+            proj = build_projection(x, nbng,
+                                    sample_fraction=hierarchy_fraction,
+                                    distance=distance, params=knn_params,
+                                    seed=seed)
+            if graph_cache and graph_cache_eager:
+                from .io.checkpoint import save_projection
+                save_projection(graph_cache, proj)
         graph_build_time = time.perf_counter() - t0
         emb = Embedder.from_hkgraph(proj, params)
     else:
@@ -147,14 +158,19 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     info["total_time"] = time.perf_counter() - t0
     if return_graph:
         info["kgraph"] = emb.get_kgraph()
-    if layer <= 0 and graph_cache:
+    if graph_cache:
         import os
         if not os.path.exists(graph_cache):
             # written after the final sync (not right after the build):
             # the np conversion inside is a device->host readback, and
             # an early readback would degrade the whole optimize phase
-            from .io.checkpoint import save_kgraph
-            save_kgraph(graph_cache, emb.get_kgraph())
+            # (pass graph_cache_eager for the crash-safe early dump)
+            if layer > 0:
+                from .io.checkpoint import save_projection
+                save_projection(graph_cache, proj)
+            else:
+                from .io.checkpoint import save_kgraph
+                save_kgraph(graph_cache, emb.get_kgraph())
     if q is not None:
         info["quality"] = q.summary()
         if outfile:

@@ -32,9 +32,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
 import json
+import logging
 import time
 
 import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
 
 
 def synthetic_higgs(n_s: int, seed: int = 7) -> np.ndarray:
