@@ -135,7 +135,12 @@ def _local_delta(y, key, src, dst, weight, local_cdf, neighbors,
 
 def make_sharded_train_step(mesh: Mesh, b: float = 1.0,
                             batch_size_per_device: int = 1024):
-    """Build a jitted data-parallel CE step over the mesh.
+    """SEMANTICS CHECK, not the production path: a minimal
+    data-parallel form of the per-sample (sampling) optimizer, kept as
+    a readable reference + dryrun smoke of edge-sharded psum training.
+    The production multi-chip optimizer is ``sharded_dense_optimize``.
+
+    Build a jitted data-parallel CE step over the mesh.
 
     The embedding y is replicated; src/dst/weight/cdf are edge shards
     (each device's cdf is its local cumulative weight, so sampling is
@@ -161,7 +166,13 @@ def make_sharded_train_step(mesh: Mesh, b: float = 1.0,
 
 
 def make_sharded_dense_step(mesh: Mesh, b: float = 1.0, n_neg: int = 10):
-    """Data-parallel dense sweep: node rows (and their (n, k) edge
+    """SEMANTICS CHECK, not the production path: one dense sweep in
+    row-major layout with a full per-call permutation — the exact
+    pattern PERF.md measured 25x slower than the rolled identity pool.
+    Kept as a readable scatter-based reference for parity testing; the
+    production multi-chip optimizer is ``sharded_dense_optimize``.
+
+    Data-parallel dense sweep: node rows (and their (n, k) edge
     table) sharded across the mesh, the (n, d) embedding replicated.
 
     Each device computes the attraction of its row shard (self moves +
