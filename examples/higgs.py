@@ -10,6 +10,10 @@ TPU flow: native CSV load -> IVF kNN graph (+ rho-sampled NN-descent)
 -> hierarchical two-level embedding -> quality; graph
 checkpoint/resume replaces the HnswIo dump (higgs.rs:397-474): pass
 --graph-cache to save/load the (n, k) kNN arrays with np.savez.
+Large-phase defaults are the round-3 tuned operating point
+(batch=60, n_sub=120 — PERF.md "hierarchical large-phase tuning";
+the reference's own point is batch=40, higgs.rs:204-242, reachable
+via --batch 40 --n-sub 60).
 
 Falls back to synthetic 28-dim data with --synthetic N when no CSV is
 available (zero-egress container).
@@ -95,6 +99,14 @@ def main():
     ap.add_argument("--recall-sample", type=int, default=2000,
                     help="rows for the build-graph recall check "
                          "(0 = skip)")
+    ap.add_argument("--batch", type=int, default=60,
+                    help="large-phase gradient batches (reference point "
+                         "is 40, higgs.rs:204-242; 60 is the tuned TPU "
+                         "operating point — see PERF.md large-phase "
+                         "study: no-match 0.190 -> 0.150 at 100k/nbng=100)")
+    ap.add_argument("--n-sub", type=int, default=120,
+                    help="dense-optimizer sub-sweeps per batch (60 = "
+                         "round-2 default; 120 tuned with --batch 60)")
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--refine-rounds", type=int, default=3)
     ap.add_argument("--rho", type=float, default=0.5,
@@ -132,12 +144,13 @@ def main():
                        dtype="bfloat16", refine_rounds=args.refine_rounds,
                        nndescent_rho=args.rho)
         y, info = at.embed(
-            x, dim=args.dim, batch=40, nbng=args.nbng, layer=1,
+            x, dim=args.dim, batch=args.batch, nbng=args.nbng, layer=1,
             hierarchy_fraction=args.fraction, scale=0.75,
             knn_params=kp, with_quality=args.quality,
             quality_nbng=args.quality_nbng, quality_fraction=qfrac,
             graph_cache=args.graph_cache, return_graph=True,
-            params=EmbedderParams(grad_factor=5, hubness_weighting=True))
+            params=EmbedderParams(grad_factor=5, hubness_weighting=True,
+                                  n_sub=args.n_sub))
         g = info.pop("kgraph", None)
     wall = time.perf_counter() - t0
 

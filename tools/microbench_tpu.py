@@ -1,0 +1,190 @@
+"""TPU micro-benchmarks with MFU / roofline accounting (one process so
+the axon channel setup is amortized; see PERF.md "the tunnel got worse").
+
+Sections (each prints a JSON line so results are machine-harvestable):
+  1. brute kNN 70k x 784 (the bench operating point,
+     reference examples/mnist_digits.rs): f32 / bf16 / bf16+ApproxTopK,
+     steady wall + achieved FLOP/s vs the v5e bf16 MXU peak.
+  2. IVF local join at 2M x 28 (examples/higgs.rs shape): wall +
+     useful-FLOP rate (panels whose rows land in real output) and the
+     padded-total rate, to show the join is gather-bound, not MXU-bound.
+  3. one NN-descent round at rho=1.0 vs 0.5 (Dong et al. candidate
+     sampling): wall + recall@12 — the VERDICT-r2 graph-build lever.
+  4. one dense optimizer sub-sweep at 70k (production transposed path,
+     optim/dense.py): wall + modeled HBM traffic vs the 819 GB/s peak.
+
+Peaks used (public TPU v5e specs): 197 TF/s bf16 MXU, 819 GB/s HBM.
+f32 matmuls cannot reach the bf16 peak (the MXU is a bf16 multiplier;
+XLA runs f32 as multi-pass), so f32 MFU is reported against the same
+197 TF/s for comparability and noted as an upper-bound fraction.
+"""
+import time, sys, os, json, math
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+import numpy as np
+
+PEAK_BF16 = 197e12       # v5e MXU, FLOP/s
+PEAK_HBM = 819e9         # v5e HBM, byte/s
+
+# smoke-test shrink factors (CI / CPU smoke: MICRO_N70=4000 MICRO_N2M=50000)
+N70 = int(os.environ.get("MICRO_N70", "0"))      # 0 = full 70k
+N2M = int(os.environ.get("MICRO_N2M", "2000000"))
+
+T0 = time.monotonic()
+
+
+def note(m):
+    print(f"[{time.monotonic()-T0:7.1f}s] {m}", flush=True)
+
+
+def emit(row):
+    print("JSON " + json.dumps(row), flush=True)
+
+
+import jax, jax.numpy as jnp  # noqa: E402
+
+note(f"devices {jax.devices()}")
+
+from bench import synthetic_mnist  # noqa: E402
+from annembed_tpu.knn.brute import knn_graph_brute, knn_search_brute  # noqa: E402
+from annembed_tpu.knn.api import recall_at_k  # noqa: E402
+
+x70 = jnp.asarray(synthetic_mnist(n=N70) if N70 else
+                  synthetic_mnist()).astype(jnp.float32)
+note("70k data on device")
+
+# enter sync mode FIRST so all timings below are honest (PERF.md:
+# pre-readback block_until_ready acks are lazy on this tunnel)
+t0 = time.monotonic()
+_ = float(jnp.ones(()))
+note(f"channel ready in {time.monotonic()-t0:.1f}s")
+
+
+def timed(fn, label, reps=2):
+    out = fn()
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+        jax.block_until_ready(out)
+    w = (time.perf_counter() - t0) / reps
+    note(f"{label}: {w:.3f}s steady")
+    return out, w
+
+
+# ---- 1. brute kNN panels ------------------------------------------------
+K = 6
+n70, d70 = x70.shape
+knn_flops = 2.0 * n70 * n70 * d70     # one (n, n) L2 panel == one matmul
+
+(ei, ed), w_f32 = timed(lambda: knn_graph_brute(x70, K, block_rows=2048),
+                        "knn f32 exact")
+emit({"bench": "knn_brute", "variant": "f32_exact", "wall_s": round(w_f32, 3),
+      "tflops": round(knn_flops / w_f32 / 1e12, 1),
+      "mfu_vs_bf16_peak": round(knn_flops / w_f32 / PEAK_BF16, 3)})
+
+(bi, bd), w_bf = timed(lambda: knn_graph_brute(x70, K, block_rows=2048,
+                                               dtype="bfloat16"),
+                       "knn bf16 exact-topk")
+agree_bf = float((np.asarray(bi) == np.asarray(ei)).mean())
+emit({"bench": "knn_brute", "variant": "bf16_exact_topk",
+      "wall_s": round(w_bf, 3), "tflops": round(knn_flops / w_bf / 1e12, 1),
+      "mfu_vs_bf16_peak": round(knn_flops / w_bf / PEAK_BF16, 3),
+      "agreement_vs_f32": round(agree_bf, 5)})
+
+for rt in (0.95, 0.85):
+    (ai, ad), w_ax = timed(
+        lambda rt=rt: knn_graph_brute(x70, K, block_rows=2048,
+                                      dtype="bfloat16", topk_recall=rt),
+        f"knn bf16 approx{rt}")
+    agree = float((np.asarray(ai) == np.asarray(ei)).mean())
+    emit({"bench": "knn_brute", "variant": f"bf16_approx{rt}",
+          "wall_s": round(w_ax, 3),
+          "tflops": round(knn_flops / w_ax / 1e12, 1),
+          "mfu_vs_bf16_peak": round(knn_flops / w_ax / PEAK_BF16, 3),
+          "agreement_vs_f32": round(agree, 5)})
+
+# ---- 4a. dense optimizer sub-sweeps at 70k (production path) -----------
+# placed before the 2M section so a timeout still captures it
+from annembed_tpu.graph.kgraph import KGraph  # noqa: E402
+from annembed_tpu.graph.proba import to_proba_edges  # noqa: E402
+from annembed_tpu.optim.dense import run_dense_optimization  # noqa: E402
+from annembed_tpu.params import EmbedderParams  # noqa: E402
+
+g70 = KGraph(indices=ei, dists=ed)
+npar = to_proba_edges(g70, 0.5, 1.0)
+key = jax.random.PRNGKey(0)
+y0 = jax.random.uniform(key, (n70, 2), jnp.float32, -5.0, 5.0)
+
+NB = 4          # batches (4*60 = 240 sub-sweeps timed)
+p = EmbedderParams(nb_grad_batch=NB)
+_, w_warm = timed(lambda: run_dense_optimization(
+    y0, g70, npar, p, n_sub=60)[0], "dense 4x60 sweeps", reps=1)
+sweeps = NB * 60
+per_sweep = w_warm / sweeps
+# modeled HBM traffic of one sub-sweep (transposed layout, n_groups=2,
+# d=2, k_g=3, n_neg=5): attraction reads y(d,n) own + k_g gathered
+# neighbour rows + writes y; edge tables k_g x (idx + 4 f32 aux);
+# negatives: n_neg x (read rolled y + read own + write y)
+d, k_g, n_neg = 2, 3, 5
+bytes_sweep = 4.0 * n70 * (d * (2 + k_g) + k_g * 5 + n_neg * 3 * d)
+emit({"bench": "dense_sweep", "n": n70, "per_sweep_ms": round(per_sweep * 1e3, 3),
+      "modeled_gb_per_sweep": round(bytes_sweep / 1e9, 4),
+      "achieved_gbps": round(bytes_sweep / per_sweep / 1e9, 1),
+      "hbm_fraction": round(bytes_sweep / per_sweep / PEAK_HBM, 3)})
+
+# ---- 2. IVF join at 2M --------------------------------------------------
+rng = np.random.default_rng(7)
+n2 = N2M
+centers = rng.normal(size=(32, 8)).astype(np.float32) * 4.0
+lat = centers[rng.integers(0, 32, n2)] + rng.normal(size=(n2, 8)).astype(np.float32)
+lift = rng.normal(size=(8, 28)).astype(np.float32)
+x2 = lat @ lift + 0.3 * rng.normal(size=(n2, 28)).astype(np.float32)
+x2 = (x2 - x2.mean(0)) / np.maximum(x2.std(0), 1e-12)
+x2 = jnp.asarray(x2.astype(np.float32))
+note("2M data on device")
+
+from annembed_tpu.knn.ivf import knn_graph_ivf  # noqa: E402
+from annembed_tpu.knn.nndescent import nndescent_refine  # noqa: E402
+
+kb = 12  # build-k (knbn=6 x factor 2)
+nprobe = 16
+t0 = time.perf_counter()
+ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16")
+jax.block_until_ready(dd)
+w_ivf = time.perf_counter() - t0
+# useful panel FLOPs: each real query row scores nprobe*cap candidates
+nlist = max(64, int(4 * math.sqrt(n2)))
+cap = max(kb + 1, int(4 * n2 / nlist) + 1)
+qcap = min(cap, max(kb + 1, 1024))
+d2 = x2.shape[1]
+useful_flops = 2.0 * n2 * nprobe * cap * d2
+padded_rows = (nlist + n2 // qcap) * qcap        # upper bound w/o trim
+emit({"bench": "ivf_join", "n": n2, "wall_s": round(w_ivf, 1),
+      "nlist": nlist, "cap": cap, "nprobe": nprobe,
+      "useful_tflops": round(useful_flops / w_ivf / 1e12, 2),
+      "mfu_vs_bf16_peak": round(useful_flops / w_ivf / PEAK_BF16, 4),
+      "note": "gather-dominated: candidate row gathers per panel"})
+
+sub = np.sort(rng.choice(n2, 2000, replace=False)).astype(np.int32)
+eqi, _ = knn_search_brute(x2[sub], x2, k=kb + 1)
+eqi = np.asarray(eqi)
+not_self = eqi != sub[:, None]
+exact = np.stack([r[m][:kb] for r, m in zip(eqi, not_self)])
+rec_ivf = recall_at_k(np.asarray(ii)[sub], exact)
+note(f"IVF recall@{kb}: {rec_ivf:.4f}")
+emit({"bench": "ivf_join_recall", "recall_at_k": round(float(rec_ivf), 4)})
+
+# ---- 3. NN-descent rho-sampling ----------------------------------------
+for rho, rounds in ((1.0, 1), (0.5, 1), (0.5, 2)):
+    t0 = time.perf_counter()
+    ri, rd = nndescent_refine(x2, ii, dd, n_rounds=rounds,
+                              dtype="bfloat16", rho=rho)
+    jax.block_until_ready(rd)
+    w = time.perf_counter() - t0
+    rec = recall_at_k(np.asarray(ri)[sub], exact)
+    emit({"bench": "nndescent", "rho": rho, "rounds": rounds,
+          "wall_s": round(w, 1), "recall_at_k": round(float(rec), 4)})
+
+note("done")
