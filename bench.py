@@ -176,10 +176,12 @@ def run_once(x, sync_element=False):
 
     t = {}
     t0 = time.perf_counter()
-    # bf16 panels + exact f32 rerank: indices identical to the f32
-    # panel (verified 70k), ~1.4x faster on the MXU
+    # bf16 panels + ApproxTopK(0.99) candidate selection + exact f32
+    # rerank: 0.9971 index agreement with the exact-sort build at 2.3x
+    # the speed (PERF.md roofline study — the exact lax.top_k is ~70%
+    # of the panel wall); recall is reported in the JSON tail
     idx, dist = knn_graph_brute(x, KNBN, block_rows=2048,
-                                dtype="bfloat16")
+                                dtype="bfloat16", topk_recall=0.99)
     idx.block_until_ready()
     t["knn"] = time.perf_counter() - t0
     g = KGraph(indices=idx, dists=dist)
