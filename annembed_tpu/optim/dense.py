@@ -294,20 +294,28 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
     d, n = yT.shape
     pos = jnp.arange(n, dtype=jnp.int32)
     stride = max(1, n // n_neg)
+    # All kicks pair against the PRE-SWEEP snapshot, so everything that
+    # does not depend on the sequentially-updated yi is batched into
+    # one op per sweep instead of n_neg small ones (the sweep is
+    # dispatch/op-overhead-bound at bench scale):
+    #   shifts (n_neg,), partner ids (n_neg, n), neighbour-exclusion
+    #   masks (n_neg, n).
+    shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
+    nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, n)
+    ok_all = (nid != pos[None, :]) & jnp.logical_not(
+        (nid[:, None, :] == idxT[None, :, :]).any(1))   # (n_neg, n)
     yi = yT
     for t in range(n_neg):
-        s_t = (offset + t * stride) % n
-        yk_t = jnp.roll(yT, -s_t, axis=1)              # snapshot roll
-        nid = (pos + s_t) % n
-        reject = (nid == pos) | (nid[None, :] == idxT).any(0)
+        yk_t = jnp.roll(yT, -shifts[t], axis=1)         # snapshot roll
         d2s = jnp.sum(jnp.square(yi - yk_t), 0,
                       keepdims=True) / jnp.square(emb_scaleT)
         coeff = _common_coeff(d2s, emb_scaleT, b)
         rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
         coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
         if neg_weight is not None:
-            coeff_ik = coeff_ik * jnp.roll(neg_weight, -s_t)[None, :]
-        ok = (d2s > 0.0) & jnp.logical_not(reject)[None, :]
+            coeff_ik = coeff_ik * jnp.roll(neg_weight,
+                                           -shifts[t])[None, :]
+        ok = (d2s > 0.0) & ok_all[t][None, :]
         coeff_ik = jnp.where(ok, coeff_ik, 0.0)
         yi = yi + (yi - yk_t) * coeff_ik
     return yi - yT
