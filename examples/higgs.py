@@ -50,12 +50,15 @@ def synthetic_higgs(n_s: int, seed: int = 7) -> np.ndarray:
     blobs embed degenerately in 2-D (any method), clustered data
     exercises the quality estimator meaningfully."""
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(32, 8)).astype(np.float32) * 4.0
+    # float32 draws: float64 Gaussians measured ~75 ns/value on this
+    # host (~6 min for 11M x 28); float32 halves it and the pipeline
+    # casts to f32 anyway
+    centers = rng.standard_normal((32, 8), dtype=np.float32) * 4.0
     latent = (centers[rng.integers(0, 32, n_s)]
-              + rng.normal(size=(n_s, 8)).astype(np.float32))
-    lift = rng.normal(size=(8, 28)).astype(np.float32)
+              + rng.standard_normal((n_s, 8), dtype=np.float32))
+    lift = rng.standard_normal((8, 28), dtype=np.float32)
     return (latent @ lift
-            + 0.3 * rng.normal(size=(n_s, 28)).astype(np.float32))
+            + 0.3 * rng.standard_normal((n_s, 28), dtype=np.float32))
 
 
 def build_graph_recall(x, g, sample: int = 2000, seed: int = 11) -> float:
@@ -86,6 +89,10 @@ def main():
     ap.add_argument("--fraction", type=float, default=0.04,
                     help="hierarchical subsample fraction (~HNSW layer>=1)")
     ap.add_argument("--graph-cache", default=None)
+    ap.add_argument("--data-cache", default=None,
+                    help="npy path: save/load the prepared (z-scored) "
+                         "matrix so retries skip the ~min-scale "
+                         "synthetic generation at 11M")
     ap.add_argument("--dmap", action="store_true",
                     help="diffusion-maps variant (dim=5, alfa=1, beta=0, "
                          "gnbn=8; higgs.rs:488-502)")
@@ -119,15 +126,21 @@ def main():
     import annembed_tpu as at
     from annembed_tpu.params import EmbedderParams, KnnParams
 
-    if args.synthetic:
-        x = synthetic_higgs(args.synthetic)
+    import os
+    if args.data_cache and os.path.exists(args.data_cache):
+        x = np.load(args.data_cache)
     else:
-        from annembed_tpu.io.csv_io import get_toembed_from_csv
-        x = get_toembed_from_csv(args.csv, subsample=args.sampling)
-        x = x[:, 1:]  # first column is the label (higgs.rs:77-155)
-    # z-score rescale (higgs.rs:158-176)
-    x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-12)
-    x = x.astype(np.float32)
+        if args.synthetic:
+            x = synthetic_higgs(args.synthetic)
+        else:
+            from annembed_tpu.io.csv_io import get_toembed_from_csv
+            x = get_toembed_from_csv(args.csv, subsample=args.sampling)
+            x = x[:, 1:]  # first column is the label (higgs.rs:77-155)
+        # z-score rescale (higgs.rs:158-176)
+        x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-12)
+        x = x.astype(np.float32)
+        if args.data_cache:
+            np.save(args.data_cache, x)
     n = x.shape[0]
     print(f"data: {x.shape}", file=sys.stderr, flush=True)
 
@@ -148,7 +161,11 @@ def main():
             hierarchy_fraction=args.fraction, scale=0.75,
             knn_params=kp, with_quality=args.quality,
             quality_nbng=args.quality_nbng, quality_fraction=qfrac,
-            graph_cache=args.graph_cache, return_graph=True,
+            # eager: dump right after construction like the reference's
+            # HnswIo (higgs.rs:466-474) — a crash in the hour-long
+            # optimize must not lose the graph build
+            graph_cache=args.graph_cache, graph_cache_eager=True,
+            return_graph=True,
             params=EmbedderParams(grad_factor=5, hubness_weighting=True,
                                   n_sub=args.n_sub))
         g = info.pop("kgraph", None)
