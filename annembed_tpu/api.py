@@ -68,6 +68,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           with_quality: bool = False, seed: int = 0,
           graph_cache: Optional[str] = None,
           graph_cache_eager: bool = False,
+          embed_cache: Optional[str] = None,
           quality_fraction: float = 1.0,
           quality_nbng: int = 50,
           return_graph: bool = False):
@@ -147,7 +148,23 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     # estimator's second kNN build) runs before the first device->host
     # readback — a readback permanently degrades all later dispatches
     # on remote-dispatch runtimes (one sync point at the end).
-    y_dev = emb.embed()
+    import os
+    if embed_cache and os.path.exists(embed_cache):
+        # resume: hour-scale optimizes whose quality phase died (e.g.
+        # a transient device fault) restart straight into quality
+        import jax.numpy as jnp
+        from .io.checkpoint import load_embedding
+        y_dev = jnp.asarray(load_embedding(embed_cache))
+        emb.embedding = y_dev
+        logger.info("loaded embedding checkpoint from %s", embed_cache)
+    else:
+        y_dev = emb.embed()
+        if embed_cache:
+            # eager dump (the np conversion is a readback; big runs are
+            # already in sync mode via _ensure_eager_execution above)
+            from .io.checkpoint import save_embedding
+            save_embedding(embed_cache, np.asarray(y_dev))
+            logger.info("embedding checkpoint written to %s", embed_cache)
     q = None
     if with_quality:
         q = emb.get_quality_estimate_from_edge_length(

@@ -21,6 +21,7 @@ numpy-exact graphs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +168,15 @@ def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
     if k > n:
         raise ValueError("k larger than corpus")
     block_rows = min(block_rows, max(8, queries.shape[0]))
+    # cap the per-block (block_rows, chunk) panel at ~1.5 GB: the
+    # 2M-row default chunk put an 8.2 GB panel (+ top-k workspace)
+    # inside one program at 11M corpus rows, which faulted the device
+    # under the rest of a large pipeline's resident buffers
+    panel_budget = int(os.environ.get("ANNEMBED_SEARCH_PANEL_BYTES",
+                                      1_500_000_000))
+    corpus_chunk = max(min(corpus_chunk,
+                           panel_budget // max(block_rows * 4, 1)),
+                       k + 1)
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
     if n <= corpus_chunk:

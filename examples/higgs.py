@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--fraction", type=float, default=0.04,
                     help="hierarchical subsample fraction (~HNSW layer>=1)")
     ap.add_argument("--graph-cache", default=None)
+    ap.add_argument("--embed-cache", default=None,
+                    help="npy path: eager embedding checkpoint after "
+                         "the optimize phase; an existing file resumes "
+                         "straight into quality")
     ap.add_argument("--data-cache", default=None,
                     help="npy path: save/load the prepared (z-scored) "
                          "matrix so retries skip the ~min-scale "
@@ -165,7 +169,7 @@ def main():
             # HnswIo (higgs.rs:466-474) — a crash in the hour-long
             # optimize must not lose the graph build
             graph_cache=args.graph_cache, graph_cache_eager=True,
-            return_graph=True,
+            embed_cache=args.embed_cache, return_graph=True,
             params=EmbedderParams(grad_factor=5, hubness_weighting=True,
                                   n_sub=args.n_sub))
         g = info.pop("kgraph", None)
