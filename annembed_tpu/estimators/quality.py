@@ -46,7 +46,10 @@ class QualityEstimate:
     nbng_used: int          # neighbourhood size of the original graph
     nbng_target: int        # neighbourhood size in embedded space
     nb_without_match: int
-    mean_nb_matched: float  # mean conserved neighbours when >=1 match
+    #: mean conserved neighbours over nodes WITH >=1 match — the
+    #: reference's semantics ("mean number of neighbours conserved
+    #: when match", embedder.rs:679-681: divides by n - nb_without)
+    mean_nb_matched: float
     median_ratio: float
     mean_ratio: float
     radii_quantiles: Dict[str, float]
@@ -62,11 +65,17 @@ class QualityEstimate:
     frac_without_match: float = 0.0
     #: evaluated node ids (None = all nodes in order)
     sample_ids: Optional[np.ndarray] = None
+    #: mean conserved neighbours over ALL evaluated nodes (zeros
+    #: included) — the two headline metrics anti-correlate (rescuing
+    #: weakly-matched nodes lowers the conditional mean), so the
+    #: marginal disambiguates cross-run comparisons
+    mean_nb_matched_marginal: float = 0.0
 
     def summary(self) -> Dict[str, float]:
         out = {
             "nb_without_match": float(self.nb_without_match),
             "mean_nb_matched": self.mean_nb_matched,
+            "mean_nb_matched_marginal": self.mean_nb_matched_marginal,
             "median_ratio": self.median_ratio,
             "mean_ratio": self.mean_ratio,
             "frac_without_match": self.frac_without_match,
@@ -186,7 +195,8 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         ratio_by_node=ratio_by_node,
         first_dist=first_dist,
         nb_sampled=m, frac_without_match=frac_without,
-        sample_ids=sample_ids)
+        sample_ids=sample_ids,
+        mean_nb_matched_marginal=float(int(vals_i[1]) / m))
     logger.info(
         "quality: nb_without_match=%d (frac %.4f of %d sampled) "
         "mean_matched=%.3f median_ratio=%.3e mean_ratio=%.3e",
