@@ -118,8 +118,12 @@ def main():
     ap.add_argument("--n-sub", type=int, default=120,
                     help="dense-optimizer sub-sweeps per batch (60 = "
                          "round-2 default; 120 tuned with --batch 60)")
-    ap.add_argument("--nprobe", type=int, default=16)
-    ap.add_argument("--refine-rounds", type=int, default=3)
+    ap.add_argument("--nprobe", type=int, default=24,
+                    help="IVF cells probed per query (24 x rho=0.5 x "
+                         "4 rounds = tuned 11M point: recall@6 0.9803 "
+                         "in 643 s, beats nprobe=16 x rho=1.0 x 3 on "
+                         "both axes — PERF.md tuning table)")
+    ap.add_argument("--refine-rounds", type=int, default=4)
     ap.add_argument("--rho", type=float, default=0.5,
                     help="NN-descent candidate sampling fraction")
     ap.add_argument("--json", action="store_true",
