@@ -1,11 +1,17 @@
-"""Single-linkage clustering over the kNN graph.
+"""Single-linkage and HDBSCAN* clustering over the kNN graph.
 
 Rebuilds (and completes) reference src/hdbscan/: union-find +
 Kruskal MST (kruskal.rs:19,100) and the single-linkage dendrogram that
 the reference's ``SLclustering::cluster`` leaves unfinished
-(sl.rs:149-177 ends at TODOs).  Graph-side work (edge extraction) is
-device arrays; the MST itself is inherently sequential and runs
-host-side in numpy, as the reference's does on CPU.
+(sl.rs:149-177 ends at TODOs).  Beyond the reference stub, this module
+carries the construction through to full HDBSCAN* (Campello et al.
+2013): mutual-reachability weights (device-side, ``mutual_reachability``),
+the condensed tree at a ``min_cluster_size``, stability-based
+excess-of-mass cluster extraction, and per-point membership
+probabilities (``hdbscan``).  Graph-side work (edge extraction, weight
+transform) is device arrays; the tree algorithms are inherently
+sequential and run host-side in numpy, as the reference's CPU side
+would have.
 """
 
 from __future__ import annotations
@@ -86,6 +92,20 @@ class Dendrogram:
         return labels
 
 
+def mutual_reachability(g: KGraph, min_samples: int) -> KGraph:
+    """KGraph with mutual-reachability weights
+    d_mreach(i,j) = max(core_i, core_j, d(i,j)), where core_i is the
+    distance to i's ``min_samples``-th neighbour (HDBSCAN* def. 2).
+    Pure elementwise max on device; neighbour order is preserved up to
+    the core-distance floor (ties collapse onto core_i)."""
+    import jax.numpy as jnp
+    if not 1 <= min_samples <= g.nbng:
+        raise ValueError(f"min_samples must be in [1, {g.nbng}]")
+    core = g.dists[:, min_samples - 1]
+    d = jnp.maximum(g.dists, jnp.maximum(core[:, None], core[g.indices]))
+    return KGraph(indices=g.indices, dists=d)
+
+
 def single_linkage(g: KGraph) -> Dendrogram:
     """Single-linkage dendrogram from the MST (completes sl.rs:109)."""
     mst = kruskal_mst(g)
@@ -105,3 +125,186 @@ def single_linkage(g: KGraph) -> Dendrogram:
         uf.union(ra, rb)
         label_of_root[uf.find(ra)] = new_label
     return Dendrogram(linkage=linkage, mst=mst, n_points=n)
+
+
+# --------------------------------------------------------------------------
+# HDBSCAN* on top of the dendrogram (completes the reference's stub
+# beyond sl.rs — condensed tree + excess-of-mass selection)
+# --------------------------------------------------------------------------
+
+_MIN_EDGE = 1e-10   # floor on merge distances so lambda = 1/d stays finite
+
+
+def condensed_tree(dend: Dendrogram, min_cluster_size: int = 5) -> np.ndarray:
+    """Condense the single-linkage dendrogram at ``min_cluster_size``.
+
+    Returns (r, 4) float64 rows ``[parent, child, lambda, size]`` in the
+    standard HDBSCAN* encoding: labels < n_points are points, labels
+    >= n_points are clusters (root = n_points); ``lambda`` = 1 / merge
+    distance at which ``child`` separated from (or fell out of)
+    ``parent``.  Splits where a side holds < min_cluster_size points
+    shed those points into the parent instead of spawning a cluster.
+    """
+    if min_cluster_size < 2:
+        raise ValueError("min_cluster_size must be >= 2")
+    n = dend.n_points
+    m = dend.linkage.shape[0]
+    if m == 0:
+        return np.zeros((0, 4))
+
+    def node_size(v: int) -> int:
+        return 1 if v < n else int(dend.linkage[v - n, 3])
+
+    def subtree_points(v: int) -> list:
+        out, stack = [], [v]
+        while stack:
+            u = stack.pop()
+            if u < n:
+                out.append(u)
+            else:
+                stack.append(int(dend.linkage[u - n, 0]))
+                stack.append(int(dend.linkage[u - n, 1]))
+        return out
+
+    rows = []
+    next_label = n + 1
+    # The kNN graph may be disconnected (unlike a true metric space),
+    # making the MST a forest.  Roots = internal nodes never referenced
+    # as a child.  A single root is the classic case (it becomes the
+    # root cluster n, unselectable unless allow_single_cluster); with
+    # several components, each sufficiently large component root hangs
+    # off the virtual root n as its own selectable cluster — separate
+    # components are genuinely distinct clusters.
+    referenced = set(dend.linkage[:, 0].astype(np.int64)) | \
+        set(dend.linkage[:, 1].astype(np.int64))
+    forest_roots = [n + i for i in range(m) if (n + i) not in referenced]
+    # stack of (dendrogram node, condensed cluster label it belongs to)
+    if len(forest_roots) == 1:
+        stack = [(forest_roots[0], n)]
+    else:
+        stack = []
+        for r in forest_roots:
+            if node_size(r) < min_cluster_size:
+                continue                      # whole component is noise
+            lam_top = 1.0 / max(dend.linkage[r - n, 2], _MIN_EDGE)
+            rows.append((n, next_label, lam_top, node_size(r)))
+            stack.append((r, next_label))
+            next_label += 1
+    while stack:
+        v, label = stack.pop()
+        left = int(dend.linkage[v - n, 0])
+        right = int(dend.linkage[v - n, 1])
+        lam = 1.0 / max(dend.linkage[v - n, 2], _MIN_EDGE)
+        sl, sr = node_size(left), node_size(right)
+        if sl >= min_cluster_size and sr >= min_cluster_size:
+            for child, size in ((left, sl), (right, sr)):
+                rows.append((label, next_label, lam, size))
+                stack.append((child, next_label))
+                next_label += 1
+        else:
+            for child, size in ((left, sl), (right, sr)):
+                if size >= min_cluster_size:     # cluster continues as-is
+                    stack.append((child, label))
+                else:                            # points fall out of label
+                    for p in subtree_points(child):
+                        rows.append((label, p, lam, 1))
+    return np.array(rows, dtype=np.float64).reshape(-1, 4)
+
+
+@dataclasses.dataclass
+class HdbscanResult:
+    labels: np.ndarray          # (n,) int64, -1 = noise
+    probabilities: np.ndarray   # (n,) float64 in [0, 1]
+    condensed: np.ndarray       # (r, 4) condensed-tree rows
+    stability: dict             # cluster label -> stability
+    selected: list              # selected (flat) cluster labels
+
+
+def extract_clusters_eom(cond: np.ndarray, n_points: int,
+                         allow_single_cluster: bool = False
+                         ) -> HdbscanResult:
+    """Excess-of-mass flat extraction (Campello et al. 2013 §4.3):
+    stability(C) = sum over members (lambda_leave - lambda_birth); a
+    cluster is selected iff its stability beats the sum of its
+    children's propagated subtree stabilities.  Root is never selected
+    unless ``allow_single_cluster``."""
+    labels = np.full(n_points, -1, dtype=np.int64)
+    probs = np.zeros(n_points)
+    if cond.shape[0] == 0:
+        return HdbscanResult(labels, probs, cond, {}, [])
+    parents = cond[:, 0].astype(np.int64)
+    children = cond[:, 1].astype(np.int64)
+    lams = cond[:, 2]
+    sizes = cond[:, 3]
+
+    cluster_ids = sorted(set(parents) | set(c for c in children
+                                            if c >= n_points))
+    birth = {c: 0.0 for c in cluster_ids}
+    kids: dict = {c: [] for c in cluster_ids}
+    for c, l in zip(children, lams):
+        if c >= n_points:
+            birth[int(c)] = l
+    for p, c in zip(parents, children):
+        if c >= n_points:
+            kids[int(p)].append(int(c))
+    stability = {c: 0.0 for c in cluster_ids}
+    for p, l, s in zip(parents, lams, sizes):
+        stability[int(p)] += (l - birth[int(p)]) * s
+
+    # bottom-up (labels increase with depth by construction)
+    subtree = dict(stability)
+    selected = set()
+    root = n_points
+    for c in sorted(cluster_ids, reverse=True):
+        ks = kids[c]
+        kidsum = sum(subtree[k] for k in ks)
+        if ks and kidsum > stability[c]:
+            subtree[c] = kidsum
+        elif c == root and not allow_single_cluster:
+            subtree[c] = max(kidsum, stability[c])
+        else:
+            subtree[c] = stability[c]
+            selected.add(c)
+            drop = list(ks)
+            while drop:                     # deselect all descendants
+                d = drop.pop()
+                selected.discard(d)
+                drop.extend(kids[d])
+
+    # point rows: walk up to the nearest selected ancestor
+    parent_of = {int(c): int(p) for p, c in zip(parents, children)
+                 if c >= n_points}
+    flat = {c: i for i, c in enumerate(sorted(selected))}
+    lam_max = {c: 0.0 for c in selected}
+    assign = []
+    for p, c, l in zip(parents, children, lams):
+        if c >= n_points:
+            continue
+        a = int(p)
+        while a not in selected and a in parent_of:
+            a = parent_of[a]
+        if a in selected:
+            assign.append((int(c), a, l))
+            lam_max[a] = max(lam_max[a], l)
+    for point, clus, l in assign:
+        labels[point] = flat[clus]
+        probs[point] = min(l / lam_max[clus], 1.0) if lam_max[clus] > 0 else 1.0
+    return HdbscanResult(labels, probs, cond, stability,
+                         sorted(flat, key=flat.get))
+
+
+def hdbscan(g: KGraph, min_cluster_size: int = 5,
+            min_samples: int | None = None,
+            allow_single_cluster: bool = False) -> HdbscanResult:
+    """Full HDBSCAN* over the kNN graph: mutual-reachability weights ->
+    MST -> single linkage -> condensed tree -> EOM extraction.  The
+    graph stands in for the exact metric space (standard for
+    approximate-kNN HDBSCAN); ``min_samples`` defaults to the graph's
+    neighbour count capped at min_cluster_size, as in common practice."""
+    if min_samples is None:
+        min_samples = min(min_cluster_size, g.nbng)
+    gm = mutual_reachability(g, min_samples)
+    dend = single_linkage(gm)
+    cond = condensed_tree(dend, min_cluster_size)
+    return extract_clusters_eom(cond, g.nb_nodes,
+                                allow_single_cluster=allow_single_cluster)

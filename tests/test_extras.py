@@ -230,6 +230,88 @@ def test_single_linkage_separates_blobs(rng):
     assert sizes.max() <= 120
 
 
+def test_mutual_reachability_floor(rng):
+    from annembed_tpu.estimators.hdbscan import mutual_reachability
+    x = rng.normal(size=(50, 3)).astype(np.float32)
+    g = graph_of(x, k=8)
+    gm = mutual_reachability(g, min_samples=5)
+    core = np.asarray(g.dists)[:, 4]
+    d = np.asarray(gm.dists)
+    # every mreach distance >= both endpoints' core distances and the
+    # original distance
+    assert (d >= np.asarray(g.dists) - 1e-6).all()
+    assert (d >= core[:, None] - 1e-6).all()
+    assert (d >= core[np.asarray(g.indices)] - 1e-6).all()
+
+
+def test_hdbscan_three_blobs_plus_noise(rng):
+    """Full HDBSCAN*: disconnected components (forest MST) must each
+    surface as clusters; uniform background points are mostly noise."""
+    from annembed_tpu.estimators.hdbscan import hdbscan
+    a = rng.normal(size=(80, 4))
+    b = rng.normal(size=(80, 4)) + 30.0
+    c = rng.normal(size=(80, 4)) - 30.0
+    bg = rng.uniform(-60, 60, size=(12, 4))
+    x = np.concatenate([a, b, c, bg]).astype(np.float32)
+    res = hdbscan(graph_of(x, k=10), min_cluster_size=15)
+    assert len(res.selected) == 3
+    for blk in (slice(0, 80), slice(80, 160), slice(160, 240)):
+        lbl = res.labels[blk]
+        assert (lbl >= 0).all()
+        assert len(np.unique(lbl)) == 1          # each blob pure
+    assert len(np.unique(res.labels[:240])) == 3  # distinct clusters
+    p = res.probabilities
+    assert (p[res.labels >= 0] > 0).all() and (p <= 1.0).all()
+    assert (p[res.labels == -1] == 0).all()
+    # sparse background points either drop out as noise or attach with
+    # far lower membership probability than the dense blob cores
+    bg_conf = np.where(res.labels[240:] == -1, 0.0, p[240:])
+    assert np.median(bg_conf) < 0.3 < np.median(p[:240])
+
+
+def test_hdbscan_single_cluster_semantics(rng):
+    from annembed_tpu.estimators.hdbscan import hdbscan
+    x = rng.normal(size=(100, 4)).astype(np.float32)
+    g = graph_of(x, k=10)
+    # one connected blob: root unselectable by default -> all noise
+    assert (hdbscan(g, min_cluster_size=25).labels == -1).all()
+    r = hdbscan(g, min_cluster_size=25, allow_single_cluster=True)
+    assert (r.labels == 0).all()
+
+
+def test_hdbscan_matches_sklearn_on_complete_graph(rng):
+    """On the complete graph (k = n-1) our HDBSCAN* sees the same
+    metric as sklearn's; labelings must agree (ARI ~ 1).  kNN-graph
+    runs may legitimately over-segment where the graph is sparse."""
+    sk_cluster = pytest.importorskip("sklearn.cluster")
+    from sklearn.metrics import adjusted_rand_score
+    from annembed_tpu.estimators.hdbscan import hdbscan
+    t = rng.uniform(0, np.pi, 150)
+    m0 = np.stack([np.cos(t), np.sin(t)], 1) + rng.normal(0, .08, (150, 2))
+    m1 = np.stack([1 - np.cos(t), .5 - np.sin(t)], 1) + rng.normal(0, .08, (150, 2))
+    x = np.concatenate([m0, m1]).astype(np.float32)
+    sk = sk_cluster.HDBSCAN(min_cluster_size=20, min_samples=10).fit(x)
+    res = hdbscan(graph_of(x, k=299), min_cluster_size=20, min_samples=10)
+    assert adjusted_rand_score(sk.labels_, res.labels) >= 0.9
+
+
+def test_condensed_tree_invariants(rng):
+    from annembed_tpu.estimators.hdbscan import single_linkage, condensed_tree
+    a = rng.normal(size=(60, 3))
+    b = rng.normal(size=(60, 3)) + 8.0    # close enough to stay connected? any case works
+    x = np.concatenate([a, b]).astype(np.float32)
+    cond = condensed_tree(single_linkage(graph_of(x, k=8)), min_cluster_size=10)
+    n = 120
+    pts = cond[cond[:, 1] < n]
+    # every point leaves exactly one cluster, with unit size
+    assert len(pts) == len(np.unique(pts[:, 1].astype(int)))
+    assert (pts[:, 3] == 1).all()
+    # cluster rows carry the subtree point count
+    clus = cond[cond[:, 1] >= n]
+    assert (clus[:, 3] >= 10).all()
+    assert (cond[:, 2] > 0).all()
+
+
 # --------------------------------------------------------------------------
 # visualization
 # --------------------------------------------------------------------------
