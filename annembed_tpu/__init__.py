@@ -21,6 +21,7 @@ from .knn.hierarchy import build_projection, KGraphProjection
 from .optim.embedder import Embedder
 from .spectral.diffmaps import DiffusionMaps
 from .estimators.quality import quality_estimate
+from .estimators.hdbscan import hdbscan, single_linkage, HdbscanResult
 from .estimators.dimension import (intrinsic_dim_levina_bickel,
                                    intrinsic_dim_2nn)
 from .estimators.hubness import Hubness
@@ -34,4 +35,5 @@ __all__ = [
     "recall_at_k", "build_projection", "KGraphProjection",
     "quality_estimate", "intrinsic_dim_levina_bickel",
     "intrinsic_dim_2nn", "Hubness",
+    "hdbscan", "single_linkage", "HdbscanResult",
 ]
