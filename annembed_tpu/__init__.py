@@ -21,7 +21,8 @@ from .knn.hierarchy import build_projection, KGraphProjection
 from .optim.embedder import Embedder
 from .spectral.diffmaps import DiffusionMaps
 from .estimators.quality import quality_estimate
-from .estimators.hdbscan import hdbscan, single_linkage, HdbscanResult
+from .estimators.hdbscan import (hdbscan, single_linkage, HdbscanResult,
+                                 outlier_scores)
 from .estimators.dimension import (intrinsic_dim_levina_bickel,
                                    intrinsic_dim_2nn)
 from .estimators.hubness import Hubness
@@ -35,5 +36,5 @@ __all__ = [
     "recall_at_k", "build_projection", "KGraphProjection",
     "quality_estimate", "intrinsic_dim_levina_bickel",
     "intrinsic_dim_2nn", "Hubness",
-    "hdbscan", "single_linkage", "HdbscanResult",
+    "hdbscan", "single_linkage", "HdbscanResult", "outlier_scores",
 ]

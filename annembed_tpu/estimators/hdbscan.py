@@ -293,6 +293,36 @@ def extract_clusters_eom(cond: np.ndarray, n_points: int,
                          sorted(flat, key=flat.get))
 
 
+def outlier_scores(cond: np.ndarray, n_points: int) -> np.ndarray:
+    """GLOSH outlier scores (Campello et al. 2015 §8) from the
+    condensed tree: score(p) = 1 - lambda_p / lambda_max(B(p)), where
+    B(p) is the deepest cluster containing p and lambda_max its
+    densest level (max lambda anywhere in B(p)'s subtree).  1 = falls
+    out immediately (strong outlier), 0 = survives to the densest
+    core.  Points absent from the tree (tiny components) score 1."""
+    scores = np.ones(n_points)
+    if cond.shape[0] == 0:
+        return scores
+    parents = cond[:, 0].astype(np.int64)
+    children = cond[:, 1].astype(np.int64)
+    lams = cond[:, 2]
+    kids: dict = {}
+    lam_max: dict = {}
+    for p, c, l in zip(parents, children, lams):
+        p = int(p)
+        lam_max[p] = max(lam_max.get(p, 0.0), l)
+        if c >= n_points:
+            kids.setdefault(p, []).append(int(c))
+    # propagate subtree max bottom-up (children labels > parent labels)
+    for p in sorted(kids, reverse=True):
+        for c in kids[p]:
+            lam_max[p] = max(lam_max[p], lam_max.get(c, 0.0))
+    for p, c, l in zip(parents, children, lams):
+        if c < n_points and lam_max[int(p)] > 0:
+            scores[int(c)] = 1.0 - min(l / lam_max[int(p)], 1.0)
+    return scores
+
+
 def hdbscan(g: KGraph, min_cluster_size: int = 5,
             min_samples: int | None = None,
             allow_single_cluster: bool = False) -> HdbscanResult:

@@ -279,6 +279,23 @@ def test_hdbscan_single_cluster_semantics(rng):
     assert (r.labels == 0).all()
 
 
+def test_glosh_outlier_scores(rng):
+    """Sparse background points must score as stronger outliers than
+    dense blob cores; scores live in [0, 1]."""
+    from annembed_tpu.estimators.hdbscan import (hdbscan, outlier_scores,
+                                                 mutual_reachability,
+                                                 single_linkage,
+                                                 condensed_tree)
+    a = rng.normal(size=(100, 3))
+    bg = rng.uniform(-20, 20, size=(15, 3))
+    x = np.concatenate([a, bg]).astype(np.float32)
+    g = mutual_reachability(graph_of(x, k=10), 5)
+    cond = condensed_tree(single_linkage(g), min_cluster_size=20)
+    s = outlier_scores(cond, 115)
+    assert (0.0 <= s).all() and (s <= 1.0).all()
+    assert np.median(s[100:]) > np.median(s[:100]) + 0.2
+
+
 def test_hdbscan_matches_sklearn_on_complete_graph(rng):
     """On the complete graph (k = n-1) our HDBSCAN* sees the same
     metric as sklearn's; labelings must agree (ARI ~ 1).  kNN-graph
