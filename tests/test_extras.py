@@ -230,6 +230,61 @@ def test_single_linkage_separates_blobs(rng):
     assert sizes.max() <= 120
 
 
+def test_boruvka_matches_kruskal(rng):
+    """All MSTs of a graph share one weight multiset (even with ties);
+    Boruvka must reproduce Kruskal's, at equal edge count, on dense,
+    tie-heavy (mutual-reachability) and disconnected graphs."""
+    from annembed_tpu.estimators.hdbscan import (kruskal_mst, boruvka_mst,
+                                                 mutual_reachability)
+    cases = []
+    cases.append(graph_of(rng.normal(size=(200, 5)).astype(np.float32), k=7))
+    two = np.concatenate([rng.normal(size=(80, 3)),
+                          rng.normal(size=(80, 3)) + 100.0])
+    cases.append(graph_of(two.astype(np.float32), k=6))       # forest
+    g3 = graph_of(rng.normal(size=(150, 4)).astype(np.float32), k=9)
+    cases.append(mutual_reachability(g3, 6))                  # many ties
+    for g in cases:
+        mk, mb = kruskal_mst(g), boruvka_mst(g)
+        assert mk.shape == mb.shape
+        np.testing.assert_allclose(np.sort(mk[:, 2]), np.sort(mb[:, 2]),
+                                   rtol=1e-12)
+        # boruvka edges must form the same forest (acyclic, spanning):
+        # same component structure at full height
+        from annembed_tpu.estimators.hdbscan import UnionFind
+        for m in (mk, mb):
+            uf = UnionFind(g.nb_nodes)
+            for a, b, _ in m:
+                assert uf.union(int(a), int(b))   # no cycles
+        ra = [UnionFind(g.nb_nodes) for _ in range(2)]
+        for m, uf in zip((mk, mb), ra):
+            for a, b, _ in m:
+                uf.union(int(a), int(b))
+        r0 = np.array([ra[0].find(i) for i in range(g.nb_nodes)])
+        r1 = np.array([ra[1].find(i) for i in range(g.nb_nodes)])
+        _, c0 = np.unique(r0, return_inverse=True)
+        _, c1 = np.unique(r1, return_inverse=True)
+        assert (c0 == c1).all() or len(np.unique(c0)) == len(np.unique(c1))
+
+
+def test_single_linkage_mst_methods_agree(rng):
+    """Dendrogram heights and flat cuts agree between MST backends."""
+    from annembed_tpu.estimators.hdbscan import single_linkage
+    a = rng.normal(size=(70, 4))
+    b = rng.normal(size=(70, 4)) + 12.0
+    g = graph_of(np.concatenate([a, b]).astype(np.float32), k=8)
+    dk = single_linkage(g, mst_method="kruskal")
+    db = single_linkage(g, mst_method="boruvka")
+    np.testing.assert_allclose(np.sort(dk.linkage[:, 2]),
+                               np.sort(db.linkage[:, 2]), rtol=1e-12)
+    for thr in (0.5, 2.0, 8.0):
+        lk = dk.cluster_by_distance(thr)
+        lb = db.cluster_by_distance(thr)
+        # same partition up to label permutation
+        assert len(np.unique(lk)) == len(np.unique(lb))
+        pairs = set(zip(lk.tolist(), lb.tolist()))
+        assert len(pairs) == len(np.unique(lk))
+
+
 def test_mutual_reachability_floor(rng):
     from annembed_tpu.estimators.hdbscan import mutual_reachability
     x = rng.normal(size=(50, 3)).astype(np.float32)
