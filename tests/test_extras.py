@@ -266,6 +266,19 @@ def test_boruvka_matches_kruskal(rng):
         assert (c0 == c1).all() or len(np.unique(c0)) == len(np.unique(c1))
 
 
+def test_native_kruskal_bit_identical(rng):
+    """Native C++ Kruskal uses the same stable weight sort as numpy's
+    kind='stable' argsort — outputs must be bit-identical.  Skipped if
+    the native library didn't build."""
+    from annembed_tpu.estimators.hdbscan import kruskal_mst, _native_mst_lib
+    if _native_mst_lib() is None:
+        pytest.skip("libannembed_native unavailable")
+    x = rng.normal(size=(300, 5)).astype(np.float32)
+    g = graph_of(x, k=9)
+    assert np.array_equal(kruskal_mst(g, use_native=True),
+                          kruskal_mst(g, use_native=False))
+
+
 def test_single_linkage_mst_methods_agree(rng):
     """Dendrogram heights and flat cuts agree between MST backends."""
     from annembed_tpu.estimators.hdbscan import single_linkage
