@@ -67,6 +67,11 @@ def _native_mst_lib():
         lib.annembed_linkage.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double)]
+        lib.annembed_condense.restype = ctypes.c_int32
+        lib.annembed_condense.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
         lib._mst_typed = True
     return lib
 
@@ -283,7 +288,8 @@ def single_linkage(g: KGraph, mst_method: str = "auto") -> Dendrogram:
 _MIN_EDGE = 1e-10   # floor on merge distances so lambda = 1/d stays finite
 
 
-def condensed_tree(dend: Dendrogram, min_cluster_size: int = 5) -> np.ndarray:
+def condensed_tree(dend: Dendrogram, min_cluster_size: int = 5,
+                   use_native: bool = True) -> np.ndarray:
     """Condense the single-linkage dendrogram at ``min_cluster_size``.
 
     Returns (r, 4) float64 rows ``[parent, child, lambda, size]`` in the
@@ -299,6 +305,20 @@ def condensed_tree(dend: Dendrogram, min_cluster_size: int = 5) -> np.ndarray:
     m = dend.linkage.shape[0]
     if m == 0:
         return np.zeros((0, 4))
+
+    lib = _native_mst_lib() if use_native else None
+    if lib is not None:
+        import ctypes
+        link_c = np.ascontiguousarray(dend.linkage, np.float64)
+        rows = np.empty((n + 2 * m + 2, 4), np.float64)
+        out_r = ctypes.c_int64(0)
+        rc = lib.annembed_condense(
+            link_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), m, n,
+            min_cluster_size, _MIN_EDGE,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(out_r))
+        if rc == 0:
+            return rows[:out_r.value]
 
     def node_size(v: int) -> int:
         return 1 if v < n else int(dend.linkage[v - n, 3])
@@ -419,24 +439,33 @@ def extract_clusters_eom(cond: np.ndarray, n_points: int,
                 selected.discard(d)
                 drop.extend(kids[d])
 
-    # point rows: walk up to the nearest selected ancestor
+    # point rows: nearest selected ancestor, resolved once per CLUSTER
+    # (top-down over the small cluster set; labels increase with
+    # depth), then vectorized over the O(n) point rows
     parent_of = {int(c): int(p) for p, c in zip(parents, children)
                  if c >= n_points}
     flat = {c: i for i, c in enumerate(sorted(selected))}
-    lam_max = {c: 0.0 for c in selected}
-    assign = []
-    for p, c, l in zip(parents, children, lams):
-        if c >= n_points:
-            continue
-        a = int(p)
-        while a not in selected and a in parent_of:
-            a = parent_of[a]
-        if a in selected:
-            assign.append((int(c), a, l))
-            lam_max[a] = max(lam_max[a], l)
-    for point, clus, l in assign:
-        labels[point] = flat[clus]
-        probs[point] = min(l / lam_max[clus], 1.0) if lam_max[clus] > 0 else 1.0
+    anc_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
+    flat_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
+    for c in sorted(cluster_ids):
+        if c in selected:
+            anc_arr[c] = c
+        elif c in parent_of:
+            anc_arr[c] = anc_arr[parent_of[c]]
+    for c, i in flat.items():
+        flat_arr[c] = i
+    pt = children < n_points
+    P, C, L = parents[pt], children[pt], lams[pt]
+    sel_anc = anc_arr[P]
+    ok = sel_anc >= 0
+    fl = flat_arr[sel_anc[ok]]
+    lam_max = np.zeros(max(len(flat), 1))
+    np.maximum.at(lam_max, fl, L[ok])
+    labels[C[ok]] = fl
+    denom = lam_max[fl]
+    probs[C[ok]] = np.where(denom > 0,
+                            np.minimum(L[ok] / np.where(denom > 0, denom, 1.0),
+                                       1.0), 1.0)
     return HdbscanResult(labels, probs, cond, stability,
                          sorted(flat, key=flat.get))
 

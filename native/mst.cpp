@@ -109,4 +109,90 @@ int32_t annembed_linkage(const double* mst, int64_t m, int64_t n,
   return 0;
 }
 
+// Condensed tree at min_cluster_size from a linkage matrix (the
+// faithful native port of estimators/hdbscan.py::condensed_tree,
+// including its forest handling; outputs are identical).
+//   linkage: (m, 4) doubles [a, b, w, size]
+//   rows:    caller-allocated (n + 2m + 2) * 4 doubles
+//            [parent, child, lambda, size]
+//   out_r:   rows written
+int32_t annembed_condense(const double* linkage, int64_t m, int64_t n,
+                          int64_t min_cluster_size, double min_edge,
+                          double* rows, int64_t* out_r) {
+  *out_r = 0;
+  if (m <= 0 || min_cluster_size < 2) return m <= 0 ? 0 : 1;
+  auto node_size = [&](int64_t v) -> int64_t {
+    return v < n ? 1 : static_cast<int64_t>(linkage[(v - n) * 4 + 3]);
+  };
+  int64_t r = 0;
+  auto emit = [&](int64_t parent, int64_t child, double lam, int64_t size) {
+    rows[r * 4 + 0] = static_cast<double>(parent);
+    rows[r * 4 + 1] = static_cast<double>(child);
+    rows[r * 4 + 2] = lam;
+    rows[r * 4 + 3] = static_cast<double>(size);
+    ++r;
+  };
+  // points of a subtree, via explicit stack
+  std::vector<int64_t> pt_stack;
+  auto emit_subtree_points = [&](int64_t v, int64_t parent, double lam) {
+    pt_stack.push_back(v);
+    while (!pt_stack.empty()) {
+      const int64_t u = pt_stack.back();
+      pt_stack.pop_back();
+      if (u < n) {
+        emit(parent, u, lam, 1);
+      } else {
+        pt_stack.push_back(static_cast<int64_t>(linkage[(u - n) * 4 + 0]));
+        pt_stack.push_back(static_cast<int64_t>(linkage[(u - n) * 4 + 1]));
+      }
+    }
+  };
+  // forest roots: internal nodes never referenced as a child
+  std::vector<bool> referenced(n + m, false);
+  for (int64_t i = 0; i < m; ++i) {
+    referenced[static_cast<int64_t>(linkage[i * 4 + 0])] = true;
+    referenced[static_cast<int64_t>(linkage[i * 4 + 1])] = true;
+  }
+  std::vector<int64_t> roots;
+  for (int64_t i = 0; i < m; ++i)
+    if (!referenced[n + i]) roots.push_back(n + i);
+  int64_t next_label = n + 1;
+  std::vector<std::pair<int64_t, int64_t>> stack;  // (node, condensed label)
+  if (roots.size() == 1) {
+    stack.emplace_back(roots[0], n);
+  } else {
+    for (const int64_t rt : roots) {
+      if (node_size(rt) < min_cluster_size) continue;
+      const double lam_top = 1.0 / std::max(linkage[(rt - n) * 4 + 2],
+                                            min_edge);
+      emit(n, next_label, lam_top, node_size(rt));
+      stack.emplace_back(rt, next_label);
+      ++next_label;
+    }
+  }
+  while (!stack.empty()) {
+    const auto [v, label] = stack.back();
+    stack.pop_back();
+    const int64_t left = static_cast<int64_t>(linkage[(v - n) * 4 + 0]);
+    const int64_t right = static_cast<int64_t>(linkage[(v - n) * 4 + 1]);
+    const double lam = 1.0 / std::max(linkage[(v - n) * 4 + 2], min_edge);
+    const int64_t sl = node_size(left), sr = node_size(right);
+    if (sl >= min_cluster_size && sr >= min_cluster_size) {
+      emit(label, next_label, lam, sl);
+      stack.emplace_back(left, next_label);
+      ++next_label;
+      emit(label, next_label, lam, sr);
+      stack.emplace_back(right, next_label);
+      ++next_label;
+    } else {
+      if (sl >= min_cluster_size) stack.emplace_back(left, label);
+      else emit_subtree_points(left, label, lam);
+      if (sr >= min_cluster_size) stack.emplace_back(right, label);
+      else emit_subtree_points(right, label, lam);
+    }
+  }
+  *out_r = r;
+  return 0;
+}
+
 }  // extern "C"

@@ -266,6 +266,25 @@ def test_boruvka_matches_kruskal(rng):
         assert (c0 == c1).all() or len(np.unique(c0)) == len(np.unique(c1))
 
 
+def test_native_condense_bit_identical(rng):
+    """Native condensed-tree builder is a faithful port: bit-identical
+    rows to the Python walk, in connected and forest topologies."""
+    from annembed_tpu.estimators.hdbscan import (single_linkage,
+                                                 condensed_tree,
+                                                 mutual_reachability,
+                                                 _native_mst_lib)
+    if _native_mst_lib() is None:
+        pytest.skip("libannembed_native unavailable")
+    for xs in (rng.normal(size=(300, 4)),
+               np.concatenate([rng.normal(size=(150, 4)),
+                               rng.normal(size=(150, 4)) + 80])):
+        g = mutual_reachability(graph_of(xs.astype(np.float32), k=8), 5)
+        dend = single_linkage(g)
+        for mcs in (5, 25):
+            assert np.array_equal(condensed_tree(dend, mcs, use_native=True),
+                                  condensed_tree(dend, mcs, use_native=False))
+
+
 def test_native_kruskal_bit_identical(rng):
     """Native C++ Kruskal uses the same stable weight sort as numpy's
     kind='stable' argsort — outputs must be bit-identical.  Skipped if
