@@ -483,20 +483,21 @@ def outlier_scores(cond: np.ndarray, n_points: int) -> np.ndarray:
     parents = cond[:, 0].astype(np.int64)
     children = cond[:, 1].astype(np.int64)
     lams = cond[:, 2]
-    kids: dict = {}
-    lam_max: dict = {}
-    for p, c, l in zip(parents, children, lams):
-        p = int(p)
-        lam_max[p] = max(lam_max.get(p, 0.0), l)
-        if c >= n_points:
-            kids.setdefault(p, []).append(int(c))
-    # propagate subtree max bottom-up (children labels > parent labels)
-    for p in sorted(kids, reverse=True):
-        for c in kids[p]:
-            lam_max[p] = max(lam_max[p], lam_max.get(c, 0.0))
-    for p, c, l in zip(parents, children, lams):
-        if c < n_points and lam_max[int(p)] > 0:
-            scores[int(c)] = 1.0 - min(l / lam_max[int(p)], 1.0)
+    lam_max = np.zeros(int(parents.max()) + 1)
+    np.maximum.at(lam_max, parents, lams)
+    # propagate subtree max bottom-up over the small cluster tree
+    # (children labels > parent labels by construction)
+    cm = children >= n_points
+    cluster_edges = sorted(zip(parents[cm].tolist(), children[cm].tolist()),
+                           key=lambda e: -e[1])
+    for p, c in cluster_edges:
+        if c < lam_max.size:
+            lam_max[p] = max(lam_max[p], lam_max[c])
+    pts = ~cm
+    P, C, L = parents[pts], children[pts], lams[pts]
+    denom = lam_max[P]
+    good = denom > 0
+    scores[C[good]] = 1.0 - np.minimum(L[good] / denom[good], 1.0)
     return scores
 
 
