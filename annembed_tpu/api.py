@@ -71,7 +71,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           embed_cache: Optional[str] = None,
           quality_fraction: float = 1.0,
           quality_nbng: int = 50,
-          return_graph: bool = False):
+          return_graph: bool = False,
+          cluster: int = 0):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
     bin/embed.rs main flow :402-444).
 
@@ -90,6 +91,11 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     subsampled quality runs, io.rs:197-199); ``quality_nbng`` is the
     embedded neighbourhood size (reference uses 50 for MNIST, 100 for
     Higgs).
+
+    ``cluster`` > 0 runs HDBSCAN* on the (already built) kNN graph with
+    that min_cluster_size; labels/probabilities land in
+    ``info["cluster"]`` and, next to ``outfile``, in ``clusters.csv``
+    (completes the reference's hdbscan stub as a pipeline by-product).
     """
     x = _load(csv, delim, quality_sampling)
     if params is None:
@@ -188,6 +194,21 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             else:
                 from .io.checkpoint import save_kgraph
                 save_kgraph(graph_cache, emb.get_kgraph())
+    if cluster > 0:
+        from .estimators.hdbscan import hdbscan as _hdbscan
+        res = _hdbscan(emb.get_kgraph(), min_cluster_size=cluster)
+        info["cluster"] = {
+            "n_clusters": len(res.selected),
+            "noise_fraction": float((res.labels == -1).mean()),
+            "labels": res.labels,
+            "probabilities": res.probabilities,
+        }
+        if outfile:
+            import os
+            from .io.csv_io import write_csv_labeled_array2
+            d = os.path.dirname(os.fspath(outfile)) or "."
+            write_csv_labeled_array2(os.path.join(d, "clusters.csv"),
+                                     res.labels, y)
     if q is not None:
         info["quality"] = q.summary()
         if outfile:

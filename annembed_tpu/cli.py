@@ -69,6 +69,10 @@ def main_embed(argv=None) -> int:
     p.add_argument("--graph-cache-eager", action="store_true",
                    help="save the graph right after the build "
                         "(crash-safe, like the reference HnswIo dump)")
+    p.add_argument("--cluster", type=int, default=0, metavar="MCS",
+                   help="run HDBSCAN* on the kNN graph with this "
+                        "min_cluster_size; writes clusters.csv next to "
+                        "the embedding")
     args = p.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING)
@@ -85,10 +89,14 @@ def main_embed(argv=None) -> int:
                     seed=args.seed, graph_cache=args.graph_cache,
                     graph_cache_eager=args.graph_cache_eager,
                     quality_nbng=args.quality_nbng,
-                    quality_fraction=args.quality_fraction)
+                    quality_fraction=args.quality_fraction,
+                    cluster=args.cluster)
     out = {"n": int(y.shape[0]), "dim": int(y.shape[1]),
            **{k: v for k, v in info.items()
               if isinstance(v, (int, float, dict))}}
+    if "cluster" in out:        # keep only json-safe scalars
+        out["cluster"] = {k: v for k, v in out["cluster"].items()
+                          if isinstance(v, (int, float))}
     if args.stats:
         from .io.csv_io import get_toembed_from_csv
         from . import (build_kgraph, intrinsic_dim_levina_bickel,

@@ -366,6 +366,23 @@ def test_hdbscan_single_cluster_semantics(rng):
     assert (r.labels == 0).all()
 
 
+def test_embed_cluster_byproduct(rng, tmp_path):
+    """api.embed(cluster=mcs) clusters the pipeline's own kNN graph and
+    writes clusters.csv next to the embedding."""
+    from annembed_tpu.api import embed
+    x = np.concatenate([rng.normal(size=(150, 6)),
+                        rng.normal(size=(150, 6)) + 30]).astype(np.float32)
+    out = tmp_path / "emb.csv"
+    y, info = embed(x, outfile=str(out), dim=2, batch=4, cluster=60)
+    c = info["cluster"]
+    assert c["n_clusters"] == 2 and c["noise_fraction"] <= 0.05
+    assert len(np.unique(c["labels"][:150])) == 1
+    assert len(np.unique(c["labels"][150:])) == 1
+    lab = np.loadtxt(tmp_path / "clusters.csv", delimiter=",")
+    assert lab.shape == (300, 3)
+    assert np.array_equal(lab[:, 0].astype(int), c["labels"])
+
+
 def test_glosh_outlier_scores(rng):
     """Sparse background points must score as stronger outliers than
     dense blob cores; scores live in [0, 1]."""
