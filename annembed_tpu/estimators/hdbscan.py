@@ -224,14 +224,17 @@ def mutual_reachability(g: KGraph, min_samples: int) -> KGraph:
     """KGraph with mutual-reachability weights
     d_mreach(i,j) = max(core_i, core_j, d(i,j)), where core_i is the
     distance to i's ``min_samples``-th neighbour (HDBSCAN* def. 2).
-    Pure elementwise max on device; neighbour order is preserved up to
-    the core-distance floor (ties collapse onto core_i)."""
+    Elementwise max on device, then a per-row re-sort: the neighbour
+    cores can reorder rows arbitrarily, and KGraph's contract requires
+    ascending dists."""
     import jax.numpy as jnp
     if not 1 <= min_samples <= g.nbng:
         raise ValueError(f"min_samples must be in [1, {g.nbng}]")
     core = g.dists[:, min_samples - 1]
     d = jnp.maximum(g.dists, jnp.maximum(core[:, None], core[g.indices]))
-    return KGraph(indices=g.indices, dists=d)
+    order = jnp.argsort(d, axis=1)
+    return KGraph(indices=jnp.take_along_axis(g.indices, order, 1),
+                  dists=jnp.take_along_axis(d, order, 1))
 
 
 _BORUVKA_EDGE_CUTOVER = 200_000   # n*k above which Kruskal's Python
@@ -247,7 +250,10 @@ def single_linkage(g: KGraph, mst_method: str = "auto") -> Dendrogram:
     (kruskal when native or small; boruvka for big pure-Python runs)."""
     if mst_method == "auto":
         big = g.indices.size > _BORUVKA_EDGE_CUTOVER
-        mst_method = ("boruvka" if big and _native_mst_lib() is None
+        key_fits = (g.nb_nodes.bit_length()
+                    + int(2 * g.indices.size).bit_length() < 63)
+        mst_method = ("boruvka"
+                      if big and key_fits and _native_mst_lib() is None
                       else "kruskal")
     if mst_method not in ("kruskal", "boruvka"):
         raise ValueError(f"unknown mst_method {mst_method!r}")
@@ -275,7 +281,8 @@ def single_linkage(g: KGraph, mst_method: str = "auto") -> Dendrogram:
         new_label = n + row
         size_of_label[new_label] = size_of_label[la] + size_of_label[lb]
         linkage[row] = (la, lb, w, size_of_label[new_label])
-        uf.union(ra, rb)
+        if not uf.union(ra, rb):
+            raise ValueError(f"malformed MST: row {row} forms a cycle")
         label_of_root[uf.find(ra)] = new_label
     return Dendrogram(linkage=linkage, mst=mst, n_points=n)
 
@@ -405,19 +412,20 @@ def extract_clusters_eom(cond: np.ndarray, n_points: int,
     lams = cond[:, 2]
     sizes = cond[:, 3]
 
-    cluster_ids = sorted(set(parents) | set(c for c in children
-                                            if c >= n_points))
+    # cluster rows are the small set; every O(rows) pass is array work
+    cm = children >= n_points
+    cluster_ids = np.union1d(np.unique(parents), children[cm]).tolist()
     birth = {c: 0.0 for c in cluster_ids}
     kids: dict = {c: [] for c in cluster_ids}
-    for c, l in zip(children, lams):
-        if c >= n_points:
-            birth[int(c)] = l
-    for p, c in zip(parents, children):
-        if c >= n_points:
-            kids[int(p)].append(int(c))
-    stability = {c: 0.0 for c in cluster_ids}
-    for p, l, s in zip(parents, lams, sizes):
-        stability[int(p)] += (l - birth[int(p)]) * s
+    for p, c, l in zip(parents[cm].tolist(), children[cm].tolist(),
+                       lams[cm].tolist()):
+        birth[c] = l
+        kids[p].append(c)
+    birth_arr = np.zeros(max(cluster_ids) + 1)
+    birth_arr[children[cm]] = lams[cm]
+    stab_arr = np.zeros(max(cluster_ids) + 1)
+    np.add.at(stab_arr, parents, (lams - birth_arr[parents]) * sizes)
+    stability = {c: float(stab_arr[c]) for c in cluster_ids}
 
     # bottom-up (labels increase with depth by construction)
     subtree = dict(stability)
@@ -442,8 +450,7 @@ def extract_clusters_eom(cond: np.ndarray, n_points: int,
     # point rows: nearest selected ancestor, resolved once per CLUSTER
     # (top-down over the small cluster set; labels increase with
     # depth), then vectorized over the O(n) point rows
-    parent_of = {int(c): int(p) for p, c in zip(parents, children)
-                 if c >= n_points}
+    parent_of = dict(zip(children[cm].tolist(), parents[cm].tolist()))
     flat = {c: i for i, c in enumerate(sorted(selected))}
     anc_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
     flat_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
@@ -509,6 +516,8 @@ def hdbscan(g: KGraph, min_cluster_size: int = 5,
     graph stands in for the exact metric space (standard for
     approximate-kNN HDBSCAN); ``min_samples`` defaults to the graph's
     neighbour count capped at min_cluster_size, as in common practice."""
+    if min_cluster_size < 2:        # fail before the expensive phases
+        raise ValueError("min_cluster_size must be >= 2")
     if min_samples is None:
         min_samples = min(min_cluster_size, g.nbng)
     gm = mutual_reachability(g, min_samples)

@@ -324,11 +324,21 @@ def test_mutual_reachability_floor(rng):
     gm = mutual_reachability(g, min_samples=5)
     core = np.asarray(g.dists)[:, 4]
     d = np.asarray(gm.dists)
+    gi = np.asarray(gm.indices)
+    # rows re-sorted ascending (KGraph contract)
+    assert (np.diff(d, axis=1) >= 0).all()
+    # same neighbour sets, just reordered
+    assert np.array_equal(np.sort(gi, 1), np.sort(np.asarray(g.indices), 1))
     # every mreach distance >= both endpoints' core distances and the
-    # original distance
-    assert (d >= np.asarray(g.dists) - 1e-6).all()
+    # original pair distance
     assert (d >= core[:, None] - 1e-6).all()
-    assert (d >= core[np.asarray(g.indices)] - 1e-6).all()
+    assert (d >= core[gi] - 1e-6).all()
+    orig = {(i, int(j)): float(w) for i, (row, wr) in
+            enumerate(zip(np.asarray(g.indices), np.asarray(g.dists)))
+            for j, w in zip(row, wr)}
+    for i in range(d.shape[0]):
+        for j, w in zip(gi[i], d[i]):
+            assert w >= orig[(i, int(j))] - 1e-6
 
 
 def test_hdbscan_three_blobs_plus_noise(rng):
