@@ -395,14 +395,33 @@ class HdbscanResult:
     selected: list              # selected (flat) cluster labels
 
 
+def _ancestors(c, parent_of) -> list:
+    out = []
+    while c in parent_of:
+        c = parent_of[c]
+        out.append(c)
+    return out
+
+
 def extract_clusters_eom(cond: np.ndarray, n_points: int,
-                         allow_single_cluster: bool = False
+                         allow_single_cluster: bool = False,
+                         cluster_selection_method: str = "eom",
+                         cluster_selection_epsilon: float = 0.0
                          ) -> HdbscanResult:
-    """Excess-of-mass flat extraction (Campello et al. 2013 §4.3):
+    """Flat extraction from the condensed tree.
+
+    ``cluster_selection_method='eom'`` (Campello et al. 2013 §4.3):
     stability(C) = sum over members (lambda_leave - lambda_birth); a
     cluster is selected iff its stability beats the sum of its
-    children's propagated subtree stabilities.  Root is never selected
-    unless ``allow_single_cluster``."""
+    children's propagated subtree stabilities.  ``'leaf'`` selects the
+    finest-grained clusters (leaves of the cluster tree) instead.
+    Root is never selected unless ``allow_single_cluster``.
+
+    ``cluster_selection_epsilon`` > 0 applies the Malzer-Baum (2020)
+    epsilon search after selection: a selected cluster born below that
+    distance (1/birth_lambda < eps) is replaced by its first ancestor
+    born at >= eps — a minimum cluster scale that undoes
+    over-segmentation (e.g. splits induced by kNN-graph sparsity)."""
     labels = np.full(n_points, -1, dtype=np.int64)
     probs = np.zeros(n_points)
     if cond.shape[0] == 0:
@@ -427,30 +446,58 @@ def extract_clusters_eom(cond: np.ndarray, n_points: int,
     np.add.at(stab_arr, parents, (lams - birth_arr[parents]) * sizes)
     stability = {c: float(stab_arr[c]) for c in cluster_ids}
 
-    # bottom-up (labels increase with depth by construction)
-    subtree = dict(stability)
-    selected = set()
     root = n_points
-    for c in sorted(cluster_ids, reverse=True):
-        ks = kids[c]
-        kidsum = sum(subtree[k] for k in ks)
-        if ks and kidsum > stability[c]:
-            subtree[c] = kidsum
-        elif c == root and not allow_single_cluster:
-            subtree[c] = max(kidsum, stability[c])
-        else:
-            subtree[c] = stability[c]
-            selected.add(c)
-            drop = list(ks)
-            while drop:                     # deselect all descendants
-                d = drop.pop()
-                selected.discard(d)
-                drop.extend(kids[d])
+    if cluster_selection_method == "leaf":
+        selected = {c for c in cluster_ids if not kids[c]
+                    and (c != root or allow_single_cluster)}
+    elif cluster_selection_method == "eom":
+        # bottom-up (labels increase with depth by construction)
+        subtree = dict(stability)
+        selected = set()
+        for c in sorted(cluster_ids, reverse=True):
+            ks = kids[c]
+            kidsum = sum(subtree[k] for k in ks)
+            if ks and kidsum > stability[c]:
+                subtree[c] = kidsum
+            elif c == root and not allow_single_cluster:
+                subtree[c] = max(kidsum, stability[c])
+            else:
+                subtree[c] = stability[c]
+                selected.add(c)
+                drop = list(ks)
+                while drop:                 # deselect all descendants
+                    d = drop.pop()
+                    selected.discard(d)
+                    drop.extend(kids[d])
+    else:
+        raise ValueError("cluster_selection_method must be 'eom' or 'leaf'")
+
+    parent_up = dict(zip(children[cm].tolist(), parents[cm].tolist()))
+    if cluster_selection_epsilon > 0 and selected:
+        def climb(c):
+            # first ancestor born at distance >= eps (Malzer-Baum
+            # traverse_upwards); stop below root unless allowed
+            while True:
+                p = parent_up.get(c)
+                if p is None or p == root:
+                    return root if allow_single_cluster else c
+                if birth[p] > 0 and 1.0 / birth[p] >= cluster_selection_epsilon:
+                    return p
+                c = p
+        merged = set()
+        for c in selected:
+            if birth[c] > 0 and 1.0 / birth[c] >= cluster_selection_epsilon:
+                merged.add(c)
+            else:
+                merged.add(climb(c))
+        # drop any selection nested under another selection
+        selected = {c for c in merged
+                    if not any(a in merged for a in _ancestors(c, parent_up))}
 
     # point rows: nearest selected ancestor, resolved once per CLUSTER
     # (top-down over the small cluster set; labels increase with
     # depth), then vectorized over the O(n) point rows
-    parent_of = dict(zip(children[cm].tolist(), parents[cm].tolist()))
+    parent_of = parent_up
     flat = {c: i for i, c in enumerate(sorted(selected))}
     anc_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
     flat_arr = np.full(max(cluster_ids) + 1, -1, np.int64)
@@ -510,7 +557,9 @@ def outlier_scores(cond: np.ndarray, n_points: int) -> np.ndarray:
 
 def hdbscan(g: KGraph, min_cluster_size: int = 5,
             min_samples: int | None = None,
-            allow_single_cluster: bool = False) -> HdbscanResult:
+            allow_single_cluster: bool = False,
+            cluster_selection_method: str = "eom",
+            cluster_selection_epsilon: float = 0.0) -> HdbscanResult:
     """Full HDBSCAN* over the kNN graph: mutual-reachability weights ->
     MST -> single linkage -> condensed tree -> EOM extraction.  The
     graph stands in for the exact metric space (standard for
@@ -523,5 +572,7 @@ def hdbscan(g: KGraph, min_cluster_size: int = 5,
     gm = mutual_reachability(g, min_samples)
     dend = single_linkage(gm)
     cond = condensed_tree(dend, min_cluster_size)
-    return extract_clusters_eom(cond, g.nb_nodes,
-                                allow_single_cluster=allow_single_cluster)
+    return extract_clusters_eom(
+        cond, g.nb_nodes, allow_single_cluster=allow_single_cluster,
+        cluster_selection_method=cluster_selection_method,
+        cluster_selection_epsilon=cluster_selection_epsilon)

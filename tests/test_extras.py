@@ -426,6 +426,27 @@ def test_hdbscan_matches_sklearn_on_complete_graph(rng):
     assert adjusted_rand_score(sk.labels_, res.labels) >= 0.9
 
 
+def test_cluster_selection_epsilon_and_leaf(rng):
+    """Malzer-Baum epsilon search repairs kNN-sparsity
+    over-segmentation (two moons at k=15 split 3-ways under plain EOM);
+    'leaf' returns the finest-grained clusters."""
+    from annembed_tpu.estimators.hdbscan import hdbscan
+    sk_metrics = pytest.importorskip("sklearn.metrics")
+    t = rng.uniform(0, np.pi, 300)
+    m0 = np.stack([np.cos(t), np.sin(t)], 1) + rng.normal(0, .08, (300, 2))
+    m1 = np.stack([1 - np.cos(t), .5 - np.sin(t)], 1) + rng.normal(0, .08, (300, 2))
+    g = graph_of(np.concatenate([m0, m1]).astype(np.float32), k=15)
+    truth = np.repeat([0, 1], 300)
+    plain = hdbscan(g, min_cluster_size=30, min_samples=10)
+    eps = hdbscan(g, min_cluster_size=30, min_samples=10,
+                  cluster_selection_epsilon=0.3)
+    assert len(eps.selected) <= len(plain.selected)
+    assert sk_metrics.adjusted_rand_score(truth, eps.labels) >= 0.9
+    leaf = hdbscan(g, min_cluster_size=30, min_samples=10,
+                   cluster_selection_method="leaf")
+    assert len(leaf.selected) >= len(plain.selected)
+
+
 def test_condensed_tree_invariants(rng):
     from annembed_tpu.estimators.hdbscan import single_linkage, condensed_tree
     a = rng.normal(size=(60, 3))
