@@ -33,6 +33,10 @@ from ..params import PROBA_MIN
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    if axis != "data":
+        # every sharded function in this module addresses the axis by
+        # the literal name "data" (axis_index/PartitionSpec)
+        raise ValueError("this module requires the mesh axis name 'data'")
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
@@ -45,46 +49,12 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 # ---------------------------------------------------------------------------
 
 def sharded_knn_graph(x, k: int, mesh: Mesh, block_rows: int = 1024):
-    """Row-sharded exact kNN: each device owns a row block of queries
-    against the replicated corpus."""
-    n, d = x.shape
-    ndev = mesh.devices.size
-    pad = (-n) % ndev
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    np_ = xp.shape[0]
-
-    def local(q_shard, corpus):
-        # q_shard: (np_/ndev, d); corpus: full (np_, d)
-        from ..knn.distances import l2_panel
-        shard_rows = q_shard.shape[0]
-        dev = jax.lax.axis_index("data")
-        row0 = dev * shard_rows
-        blocks = -(-shard_rows // block_rows)
-        bpad = blocks * block_rows - shard_rows
-        qb = jnp.pad(q_shard, ((0, bpad), (0, 0))).reshape(
-            blocks, block_rows, d)
-        ids = (row0 + jnp.arange(blocks * block_rows, dtype=jnp.int32)
-               ).reshape(blocks, block_rows)
-
-        def one(args):
-            q, rid = args
-            dist = l2_panel(q, corpus)
-            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-            # mask self column and zero-padded corpus rows (col >= n)
-            dist = jnp.where((col == rid[:, None]) | (col >= n),
-                             jnp.inf, dist)
-            neg_d, idx = jax.lax.top_k(-dist, k)
-            return idx.astype(jnp.int32), -neg_d
-
-        idx, dd = jax.lax.map(one, (qb, ids))
-        return (idx.reshape(-1, k)[:shard_rows],
-                dd.reshape(-1, k)[:shard_rows])
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("data", None), P(None, None)),
-                   out_specs=(P("data", None), P("data", None)))
-    idx, dist = jax.jit(fn)(xp, xp)
-    return idx[:n], jnp.maximum(dist[:n], 0.0)
+    """Row-sharded exact kNN (thin alias of the production
+    sharded_knn_graph_brute, which carries the top-(k+extra) + exact
+    f32 L2 rerank that guards against bf16/f32 panel cancellation)."""
+    from .sharded_knn import sharded_knn_graph_brute
+    return sharded_knn_graph_brute(jnp.asarray(x, jnp.float32), k, mesh,
+                                   block_rows=block_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +152,6 @@ def make_sharded_dense_step(mesh: Mesh, b: float = 1.0, n_neg: int = 10):
     indices/w/m_visit/w_rev/m_rev: (n/ndev, k) shards; emb_scale and y
     replicated."""
     from ..optim.dense import _clipped_alpha
-    from ..optim.ce import _common_coeff
-    from ..params import PROBA_MIN
 
     def step(y, key, row0, indices, w, m_visit, w_rev, m_rev, emb_scale,
              gamma):
@@ -275,6 +243,12 @@ def shard_edge_set(es: EdgeSet, mesh: Mesh):
     tuple consumed by the sharded train step."""
     ndev = mesh.devices.size
     e = es.nb_edges
+    if e < ndev:
+        # a shard with zero total weight would make its cdf all zeros
+        # and every draw clamp to the padded (0, 0, 0) edge, which
+        # still applies spurious repulsion kicks to node 0
+        raise ValueError(f"need at least one edge per device "
+                         f"({e} edges, {ndev} devices)")
     pad = (-e) % ndev
     src = jnp.pad(es.src, (0, pad))
     dst = jnp.pad(es.dst, (0, pad))
@@ -315,12 +289,12 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     replicated embedding (positions [r0 + s_t, r0 + m + s_t) mod n), so
     repulsion stays gather-free on every device."""
     from ..optim.dense import _clipped_alpha
-    from ..optim.ce import _common_coeff
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
               neg_weight, keys, step0):
         n, dim = y0.shape
         m_rows, k = indices.shape
+        assert k % n_groups == 0, (k, n_groups)   # else columns drop
         kg = k // n_groups
         dev = jax.lax.axis_index("data")
         r0 = dev * m_rows
@@ -459,7 +433,7 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     import numpy as _np
     from ..optim.dense import (reverse_edge_info, _segment_cap,
                                _auto_groups)
-    from ..optim.ce import NB_NEGATIVE, embedded_scales_from_initial
+    from ..optim.ce import embedded_scales_from_initial
 
     p = params
     n, k = g.indices.shape
@@ -505,12 +479,18 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
         m_rev = jnp.concatenate([m_rev, zeros])
         emb_scale = jnp.concatenate([emb_scale, jnp.ones((pad,),
                                                          jnp.float32)])
-        if neg_weight is not None:
-            neg_weight = jnp.concatenate(
-                [neg_weight, jnp.ones((pad,), jnp.float32)])
+        # pad rows must carry ZERO negative weight: they sit in the
+        # rolled repulsion pool, and a nonzero weight would kick real
+        # rows away from the random ghost coordinates all run long
+        if neg_weight is None:
+            neg_weight = jnp.ones((n,), jnp.float32)
+        neg_weight = jnp.concatenate(
+            [neg_weight, jnp.zeros((pad,), jnp.float32)])
 
     total_steps = nb * n_sub
-    seg = min(total_steps, _segment_cap(y0_r.shape[0], n_groups))
+    # the per-program budget scales with PER-DEVICE sweep cost, not the
+    # padded global n (each device sweeps its own row shard)
+    seg = min(total_steps, _segment_cap(y0_r.shape[0] // ndev, n_groups))
     n_segs = -(-total_steps // seg)
 
     sh2 = NamedSharding(mesh, P("data", None))
