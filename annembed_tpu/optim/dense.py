@@ -39,6 +39,13 @@ layout, replacing per-sample randomness with per-edge *multiplicity*:
 Constants (clip -0.49, repulsion caps 2.0 and 1/16, annihilation
 1/PROBA_MIN, embedded scales 0.2*clamp(rho/mean, 1/4, 4), step decay
 gamma_0 (1 - iter/nb_batch)) are identical to the reference.
+
+Known expectation-level deviations from the reference dynamics:
+rejected negatives (self/edge/neighbour hits) are zeroed rather than
+resampled (embedder.rs:1244-1252 retries until 5 accepted), an O(k/n)
+repulsion deficit — negligible at production n; and hubness-weighted
+negatives use clamped importance weights instead of weighted draws
+(see _repulsion_sweep_rolledT).
 """
 
 from __future__ import annotations
@@ -98,11 +105,12 @@ def _attraction_sweep(y, indices, w, m_e, w_rev, m_rev, emb_scale, gamma,
     m_eff = m_e if mask is None else m_e * mask * (1.0 / mask_p)
     f_pair = jnp.power(jnp.clip(1.0 - 2.0 * alpha_f, 1e-3, 1.05), m_eff) \
         * jnp.power(jnp.clip(1.0 - 2.0 * alpha_r, 1e-3, 1.05), m_rev)
-    # floor the per-sweep pair closure at one clipped sample's worth
-    # ((1 - 2*0.49) = 0.02): deeper closed-form closure drives the gap
-    # below f32 resolution in ONE sweep, an absorbing coincidence state
-    # (all pair forces and far-negative kicks round to zero) — the 2M
-    # pile-collapse mechanism
+    # floor the per-sweep pair closure: closed-form closure deeper than
+    # ~f32 resolution in ONE sweep creates an absorbing coincidence
+    # state (all pair forces and far-negative kicks round to zero) —
+    # the 2M pile-collapse mechanism.  One clipped reference sample
+    # closes to (1 - 2*0.49) = 0.02; the default f_min=1e-3 allows ~2
+    # samples' worth, verified collapse-free at 2M/11M (PERF.md)
     f_pair = jnp.maximum(f_pair, f_min)
     share = m_e / jnp.maximum(m_e + m_rev, 1e-30)
     net = share * (1.0 - f_pair) * 0.5               # (n, k)
@@ -114,8 +122,10 @@ def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
                                    emb_scale, gamma, b: float,
                                    f_min: float = 1e-3, mask=None,
                                    mask_p: float = 1.0):
-    """Scatter-free attraction: each row applies only its own
-    endpoint's displacement.  A mutual pair is handled half by each of
+    """ROW-MAJOR REFERENCE VARIANT (kept for parity tests only — the
+    production path is the transposed _attraction_sweep_sfT; keep the
+    two in sync).  Scatter-free attraction: each row applies only its
+    own endpoint's displacement.  A mutual pair is handled half by each of
     its two rows (each moves itself (1-F)/2 toward the other); a
     one-sided edge closes the full gap from the source side (the
     umap-learn move_other=False convention).  Eliminates the reverse
@@ -131,8 +141,8 @@ def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
     its expectation so each side still applies only its bounded half of
     the pair closure (no overshoot/position swap).
 
-    ``f_min`` floors the per-sweep pair closure at one clipped sample's
-    worth — see _attraction_sweep.
+    ``f_min`` floors the per-sweep pair closure (anti-collapse) — see
+    the rationale in _attraction_sweep.
 
     Returns delta_self (n, d)."""
     yi = y[:, None, :]
@@ -159,7 +169,11 @@ def _attraction_sweep_scatter_free(y, indices, w, m_e, w_rev, m_rev,
 
 def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
                      b: float, ids_pool, n_neg: int):
-    """Negative-sample repulsion for all nodes from the permuted pool.
+    """SUM-AT-ORIGINAL-POSITION REFERENCE VARIANT (kept for parity
+    tests only — the production path is _repulsion_sweep_rolledT; this
+    formulation is the one documented below as the pile-explosion
+    failure mode when combined with full closure).  Negative-sample
+    repulsion for all nodes from the permuted pool.
 
     y_pool: (n, d) = y[perm]; ids_pool: (n,) = perm.  Node i's
     negatives are pool positions (i*n_neg + t + offset) mod n — i.e. a
@@ -505,7 +519,7 @@ _SWEEP_REFERENCE_N = 70_000
 def _segment_cap(n: int, n_groups: int) -> int:
     cap = (_MAX_SWEEPS_PER_PROGRAM * _SWEEP_REFERENCE_N
            // max(n, _SWEEP_REFERENCE_N))
-    cap -= cap % n_groups or 0
+    cap -= cap % n_groups
     return max(cap, n_groups)
 
 
@@ -515,7 +529,13 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, f_min: float = 1e-3,
                    mask_p: float = 1.0):
-    total_steps = nb_grad_batch * n_sub
+    # the reference's 1..=nb schedule (embedder.rs:873-876) runs its
+    # final batch at gamma = grad_step*(1 - nb/nb) = 0 — a provable
+    # no-op for both sweeps — so we keep the schedule and simply don't
+    # execute those steps (saves ~1/nb of the optimize wall)
+    total_steps = max(nb_grad_batch - 1, 0) * n_sub
+    if total_steps == 0:
+        return y0
     # segments stay multiples of n_groups so the group rotation aligns
     # with the compiled switch order
     seg = min(total_steps, _segment_cap(y0.shape[0], n_groups))

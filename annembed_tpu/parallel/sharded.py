@@ -487,7 +487,11 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
         neg_weight = jnp.concatenate(
             [neg_weight, jnp.zeros((pad,), jnp.float32)])
 
-    total_steps = nb * n_sub
+    # skip the reference schedule's zero-gamma final batch (see
+    # optim/dense.py::dense_optimize)
+    total_steps = max(nb - 1, 0) * n_sub
+    if total_steps == 0:
+        return y0_r[:n][inv]
     # the per-program budget scales with PER-DEVICE sweep cost, not the
     # padded global n (each device sweeps its own row shard)
     seg = min(total_steps, _segment_cap(y0_r.shape[0] // ndev, n_groups))
