@@ -34,31 +34,6 @@ from .kmeans import kmeans_fit
 logger = logging.getLogger(__name__)
 
 
-def build_member_table(cells: np.ndarray, nlist: int, n: int,
-                       capacity: int | None = None) -> np.ndarray:
-    """(nlist, C) table of point ids per cell, padded with ``n``.
-
-    Host-side (numpy) — runs once per index build; the sort is O(n log n)
-    on ints.
-    """
-    counts = np.bincount(cells, minlength=nlist)
-    cap = int(counts.max()) if capacity is None else capacity
-    order = np.argsort(cells, kind="stable")
-    table = np.full((nlist, cap), n, dtype=np.int32)
-    sorted_cells = cells[order]
-    # position within cell
-    starts = np.zeros(nlist + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    pos = np.arange(len(cells)) - starts[sorted_cells]
-    keep = pos < cap
-    table[sorted_cells[keep], pos[keep]] = order[keep]
-    dropped = int((~keep).sum())
-    if dropped:
-        logger.warning("IVF member table dropped %d overflow points as "
-                       "candidates (capacity %d)", dropped, cap)
-    return table
-
-
 def build_ivf_tables(cells: np.ndarray, nlist: int, n: int,
                      cap: int):
     """Query rows + candidate table with bounded shapes.
@@ -149,16 +124,16 @@ def _ivf_tables_impl(cells, nlist: int, cap: int, qcap: int,
     return virt_table, virt_parent, cand_table, jnp.sum(nvirt)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dtype_name",
+@functools.partial(jax.jit, static_argnames=("k", "dtype_name",
                                              "distance", "topk_recall"))
 def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
-              k: int, nprobe: int, dtype_name: str,
+              k: int, dtype_name: str,
               distance: str = "DistL2", topk_recall: float = 0.0):
     """For each virtual query row: exact kNN of its points within the
-    probed cells' candidate lists.
+    probed cells' candidate lists (probe count = cell_nbrs.shape[1]).
 
-    x_pad: (n+1, d) with a zero pad row.  Returns idx/dist (V, cap, k)
-    aligned with virt_table.  ``topk_recall`` > 0 selects candidates
+    x_pad: (n+1, d) with a zero pad row.  Returns idx/dist
+    (V, qcap, k) aligned with virt_table.  ``topk_recall`` > 0 selects candidates
     with the TPU ApproxTopK reduction at that recall target (the small
     per-row recall loss is recovered by the NN-descent refinement that
     follows the join in the production pipeline).
@@ -169,12 +144,12 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
     panel_fn = get_panel_fn(distance)
 
     def one_row(args):
-        members, parent = args                    # (cap,), ()
-        q = x_pad[members]                        # (cap, d)
+        members, parent = args                    # (qcap,), ()
+        q = x_pad[members]                        # (qcap, d)
         nbrs = cell_nbrs[parent]                  # (nprobe,)
         cand = cand_table[nbrs].reshape(-1)       # (nprobe*cap,)
         xc = x_pad[cand]                          # (nprobe*cap, d)
-        dist = panel_fn(q, xc, dtype=dtype)       # (cap, nprobe*cap)
+        dist = panel_fn(q, xc, dtype=dtype)       # (qcap, nprobe*cap)
         invalid = (cand[None, :] == members[:, None]) | (cand[None, :] >= n)
         dist = jnp.where(invalid, jnp.inf, dist)
         if topk_recall > 0.0:
@@ -183,7 +158,7 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
                 aggregate_to_topk=True)
         else:
             neg_d, pos = jax.lax.top_k(-dist, k)
-        idx = cand[pos]                           # (cap, k)
+        idx = cand[pos]                           # (qcap, k)
         out_d = -neg_d
         if distance == "DistL2":
             # exact rerank of the selected values: the matmul panel
@@ -191,7 +166,7 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
             # distances (f32 noise ~1e-5 at coordinate magnitude ~10),
             # which zeroed small kNN radii on embedded 2-D clouds and
             # exploded the quality estimator's ratios
-            xc_sel = x_pad[idx]                   # (cap, k, d)
+            xc_sel = x_pad[idx]                   # (qcap, k, d)
             d_ex = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(
                 q[:, None, :] - xc_sel), -1), 0.0))
             out_d = jnp.where(jnp.isinf(out_d), jnp.inf, d_ex)
@@ -275,7 +250,11 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     # entered sync mode (api._ensure_eager_execution) and small ones
     # pay a single cheap transfer
     v_total = int(v_used)
-    rows_per_slab = max(8, 20_000_000 // max(cap * nprobe, 1))
+    # clamp the memory-heuristic slab to the real row count: otherwise
+    # a small v_total is padded up to the full slab and the join runs
+    # hundreds of all-pad (qcap, nprobe*cap) panels into the sentinel
+    rows_per_slab = min(max(8, 20_000_000 // max(cap * nprobe, 1)),
+                        max(v_total, 1))
     idx = jnp.zeros((n + 1, k), jnp.int32)
     dist = jnp.zeros((n + 1, k), jnp.float32)
     for s0 in range(0, v_total, rows_per_slab):
@@ -285,7 +264,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                      constant_values=n)
         vp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
         it, dt = _ivf_join(x_pad, vt, vp, cand_table, cell_nbrs, k,
-                           nprobe, dtype, distance, topk_recall)
+                           dtype, distance, topk_recall)
         members = vt.reshape(-1)
         idx = idx.at[members].set(it.reshape(-1, k), mode="drop")
         dist = dist.at[members].set(dt.reshape(-1, k), mode="drop")
@@ -293,4 +272,24 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
         # joins in flight at once and their panel+top-k workspaces
         # (~1 GB each) sum past HBM at 11M points
         dist.block_until_ready()
-    return idx[:n], jnp.maximum(dist[:n], 0.0)
+    return _fixup_underfilled(idx[:n], jnp.maximum(dist[:n], 0.0), n)
+
+
+def _fixup_underfilled(idx, dist, n: int):
+    """Repair rows whose probed cells held < k valid candidates: they
+    carry the pad id n at dist = inf, and an out-of-range id crashes
+    numpy consumers (and silently clamps in jax).  Valid entries are an
+    ascending prefix, so duplicating the row's LAST valid neighbour
+    preserves the sorted invariant; a row with no valid candidate at
+    all falls back to (i+1) % n at a huge finite distance (its
+    downstream edge weight ~ 0, and NN-descent refinement repairs it)."""
+    bad = (idx >= n) | jnp.isinf(dist)
+    nvalid = jnp.sum(~bad, axis=1)
+    last = jnp.maximum(nvalid - 1, 0)[:, None]
+    fb_i = jnp.take_along_axis(idx, last, 1)
+    fb_d = jnp.take_along_axis(dist, last, 1)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    none_valid = (nvalid == 0)[:, None]
+    fb_i = jnp.where(none_valid, (rows + 1) % n, fb_i)
+    fb_d = jnp.where(none_valid, jnp.float32(1e30), fb_d)
+    return jnp.where(bad, fb_i, idx), jnp.where(bad, fb_d, dist)

@@ -110,14 +110,15 @@ def sharded_knn_graph_brute(x, k: int, mesh: Mesh, distance: str = "DistL2",
 def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
                           nlist: int = 0, nprobe: int = 32,
                           dtype: str = "float32", kmeans_iter: int = 10,
-                          seed: int = 0, sample_size: int = 500_000):
+                          seed: int = 0, sample_size: int = 500_000,
+                          topk_recall: float = 0.0):
     """IVF local join with the virtual query rows sharded over the
     mesh.  Quantizer fit, cell assignment and table construction reuse
     the single-chip code with the same seeds (they are a small fraction
     of the build), so the output graph is identical to
     knn/ivf.py::knn_graph_ivf."""
     import math
-    from ..knn.ivf import _ivf_tables_impl, _ivf_join
+    from ..knn.ivf import _ivf_tables_impl, _ivf_join, _fixup_underfilled
     from ..knn.kmeans import kmeans_fit, assign_to_centroids
     from ..knn.distances import l2_panel, corpus_sqnorm
 
@@ -154,7 +155,8 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
 
     def local(xp, vt, vp, ct, cn):
-        return _ivf_join(xp, vt, vp, ct, cn, k, nprobe, dtype, distance)
+        return _ivf_join(xp, vt, vp, ct, cn, k, dtype, distance,
+                         topk_recall)
 
     fn = jax.jit(shard_map(
         local, mesh=mesh,
@@ -164,7 +166,8 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     v_total = int(v_used)
     # one device program stays in the seconds range; each slab is a
     # multiple of the mesh size so shards stay equal
-    rows_per_slab = max(8, 20_000_000 // max(cap * nprobe, 1))
+    rows_per_slab = min(max(8, 20_000_000 // max(cap * nprobe, 1)),
+                        max(v_total, 1))     # clamp: no all-pad slabs
     rows_per_slab = -(-rows_per_slab // ndev) * ndev
     idx = jnp.zeros((n + 1, k), jnp.int32)
     dist = jnp.zeros((n + 1, k), jnp.float32)
@@ -177,7 +180,7 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
         idx = idx.at[members].set(it.reshape(-1, k), mode="drop")
         dist = dist.at[members].set(dt.reshape(-1, k), mode="drop")
         dist.block_until_ready()    # serialize slab workspaces
-    return idx[:n], jnp.maximum(dist[:n], 0.0)
+    return _fixup_underfilled(idx[:n], jnp.maximum(dist[:n], 0.0), n)
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +300,8 @@ def sharded_build_kgraph(x, knbn: int, mesh: Mesh,
             kb = max(knbn + 1, int(round(knbn * params.build_k_factor)))
         idx, dist = sharded_knn_graph_ivf(
             x, kb, mesh, distance=distance, nlist=params.nlist,
-            nprobe=params.nprobe, dtype=params.dtype)
+            nprobe=params.nprobe, dtype=params.dtype,
+            topk_recall=params.topk_recall)
         if params.refine_rounds > 0:
             idx, dist = sharded_nndescent_refine(
                 x, idx, dist, mesh, n_rounds=params.refine_rounds,

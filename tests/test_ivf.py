@@ -9,20 +9,9 @@ import numpy as np
 import pytest
 
 from annembed_tpu.knn.brute import knn_graph_brute
-from annembed_tpu.knn.ivf import knn_graph_ivf, build_member_table
+from annembed_tpu.knn.ivf import knn_graph_ivf
 from annembed_tpu.knn.api import recall_at_k
 from annembed_tpu.knn.kmeans import kmeans_fit
-
-
-def test_member_table(rng):
-    cells = rng.integers(0, 8, size=1000).astype(np.int32)
-    table = build_member_table(cells, 8, 1000)
-    counts = np.bincount(cells, minlength=8)
-    assert table.shape == (8, counts.max())
-    for c in range(8):
-        members = table[c][table[c] < 1000]
-        assert len(members) == counts[c]
-        assert (cells[members] == c).all()
 
 
 def test_kmeans_reduces_inertia(rng):
@@ -200,3 +189,16 @@ def test_ivf_all_metrics_recall(rng):
         r = recall_at_k(ai, ei)
         assert r > 0.9, (metric, r)
         assert np.all(np.asarray(ad) >= 0)
+
+
+def test_ivf_underfilled_rows_are_valid(rng):
+    """Probed cells holding < k candidates must not leak the pad id n
+    or inf distances into the returned graph (fix-up duplicates the
+    last valid neighbour, keeping rows ascending)."""
+    x = rng.normal(size=(300, 4)).astype(np.float32) * 50
+    idx, dist = knn_graph_ivf(x, k=10, nlist=64, nprobe=2)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    assert idx.max() < 300 and idx.min() >= 0
+    assert np.isfinite(dist).all()
+    assert (np.diff(dist, axis=1) >= 0).all()
+    _ = x[idx]          # numpy consumer must not raise
