@@ -30,15 +30,22 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 
-def _reverse_table(indices: jnp.ndarray, capacity: int) -> jnp.ndarray:
+def _reverse_table(indices: jnp.ndarray, capacity: int,
+                   dists: jnp.ndarray | None = None) -> jnp.ndarray:
     """(n, capacity) table of reverse neighbours (who points at me),
-    padded with n; overflow beyond capacity is dropped (the reference's
-    HNSW keeps bounded in-degree too)."""
+    padded with n; overflow beyond capacity keeps the NEAREST sources
+    when ``dists`` is given (the reference's bounded-in-degree HNSW
+    keeps the closest too — a plain stable sort would keep the
+    lowest-id sources, biasing recall against high-id nodes)."""
     n, k = indices.shape
     flat_dst = indices.reshape(-1)
     flat_src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-    # slot per destination: running count of arrivals (via sort by dst)
-    order = jnp.argsort(flat_dst)
+    # slot per destination: running count of arrivals (via sort by dst,
+    # nearest-first within a destination when distances are available)
+    if dists is None:
+        order = jnp.argsort(flat_dst)
+    else:
+        order = jnp.lexsort((dists.reshape(-1), flat_dst))
     dst_sorted = flat_dst[order]
     src_sorted = flat_src[order]
     # position within group = index - first index of the group
@@ -53,11 +60,11 @@ def _reverse_table(indices: jnp.ndarray, capacity: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("rev_capacity",))
-def _union_pp_impl(indices, rev_capacity: int):
+def _union_pp_impl(indices, rev_capacity: int, dists=None):
     """Padded symmetrized neighbourhood table (n+1, k+rc) in one XLA
     program (bounded temporary memory)."""
     n = indices.shape[0]
-    rev = _reverse_table(indices, rev_capacity)
+    rev = _reverse_table(indices, rev_capacity, dists)
     return jnp.pad(jnp.concatenate([indices, rev], axis=1),
                    ((0, 1), (0, 0)), constant_values=n)
 
@@ -110,6 +117,14 @@ def _nndescent_slab(x_pad, inner_pp, idx_slab, dist_slab, uni_slab,
 
     def one(args):
         cur_idx, cur_dist, uni, full, rid = args
+        # duplicates already inside the current list (e.g. IVF's
+        # underfilled-row repair duplicates a neighbour) are inf'd so
+        # fresh candidates can evict them — top_k tie-breaks toward
+        # the lower-index current entries otherwise
+        kk = cur_idx.shape[1]
+        eq = cur_idx[:, :, None] == cur_idx[:, None, :]
+        earlier = jnp.tril(jnp.ones((kk, kk), bool), -1)[None]
+        cur_dist = jnp.where((eq & earlier).any(-1), jnp.inf, cur_dist)
         # candidates: sampled B(sampled B(i)) plus the full B(i)
         cand = jnp.concatenate(
             [inner_pp[uni].reshape(uni.shape[0], -1), full], axis=1)
@@ -158,6 +173,9 @@ def _exact_rerank_slab(x, idx_slab, rid_slab, distance: str = "DistL2"):
     q = x[rid_slab]                       # (rows, d)
     xc = x[idx_slab]                      # (rows, k, d)
     d = pair_fn(q[:, None, :], xc)
+    # a pad id (>= n) would gather-clamp to x[n-1] and re-enter with a
+    # plausible finite distance; keep it inf so it sorts last
+    d = jnp.where(idx_slab >= x.shape[0], jnp.inf, d)
     order = jnp.argsort(d, axis=1)
     return (jnp.take_along_axis(idx_slab, order, axis=1),
             jnp.maximum(jnp.take_along_axis(d, order, axis=1), 0.0))
@@ -195,7 +213,7 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
     # scale the slab down for large candidate sets
     slab = max(block_rows,
                _ROWS_PER_PROGRAM * 196 // max(cand_per_row, 196))
-    slab -= slab % block_rows or 0
+    slab -= slab % block_rows
     ids = jnp.arange(n, dtype=jnp.int32)
     key = jax.random.PRNGKey(seed + 1013)
     for rnd in range(n_rounds):
@@ -206,7 +224,7 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
         # run eagerly, _reverse_table's ~8 op-sized temporaries
         # (argsort/gather chains over n*k = 132M elements) all stay
         # live at once and OOM at 11M
-        union_pp = _union_pp_impl(indices, rev_capacity)
+        union_pp = _union_pp_impl(indices, rev_capacity, dists)
         if s < u:
             key, k_s = jax.random.split(key)
             inner_pp = _sample_union_pp(k_s, union_pp, s)
@@ -239,12 +257,17 @@ def nndescent_refine(x, indices, dists, n_rounds: int = 2,
     if score_bf16:
         # small slabs: (rows, k, d) gather programs beyond a few hundred
         # million elements crash the TPU compile helper
-        rr_slab = 250_000
+        rr_slab = min(250_000, n)
         for s0 in range(0, n, rr_slab):
             s1 = min(s0 + rr_slab, n)
-            ri, rd = _exact_rerank_slab(x, indices[s0:s1], ids[s0:s1],
-                                        distance)
-            indices = jax.lax.dynamic_update_slice(indices, ri, (s0, 0))
-            dists = jax.lax.dynamic_update_slice(dists, rd, (s0, 0))
+            pad_r = rr_slab - (s1 - s0)   # fixed shape: one compile
+            ri, rd = _exact_rerank_slab(
+                x,
+                jnp.pad(indices[s0:s1], ((0, pad_r), (0, 0))),
+                jnp.pad(ids[s0:s1], (0, pad_r)), distance)
+            indices = jax.lax.dynamic_update_slice(
+                indices, ri[:s1 - s0], (s0, 0))
+            dists = jax.lax.dynamic_update_slice(
+                dists, rd[:s1 - s0], (s0, 0))
             dists.block_until_ready()
     return indices, dists

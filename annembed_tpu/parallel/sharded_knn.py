@@ -231,7 +231,7 @@ def sharded_nndescent_refine(x, indices, dists, mesh: Mesh,
         out_specs=(P("data", None), P("data", None))))
 
     for _ in range(n_rounds):
-        union_pp = _union_pp_impl(indices, rev_capacity)
+        union_pp = _union_pp_impl(indices, rev_capacity, dists)
         if s < u:
             key, k_s = jax.random.split(key)
             inner_pp = _sample_union_pp(k_s, union_pp, s)
