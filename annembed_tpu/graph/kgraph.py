@@ -86,47 +86,72 @@ def symmetric_coo(g: KGraph, weights: jnp.ndarray | None = None,
 
     Returns (rows, cols, vals) each of length 2*n*k (+n if include_self).
     """
-    n, k = g.indices.shape
-    w = g.dists if weights is None else weights
-    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-    dst = g.indices.reshape(-1)
-    val = w.reshape(-1).astype(jnp.float32)
-
-    rows = jnp.concatenate([src, dst])
-    cols = jnp.concatenate([dst, src])
-    if mode == "mean":
-        vals = jnp.concatenate([val, val]) * 0.5
-    elif mode == "max":
-        vals = jnp.concatenate([val, val])
-    else:
-        raise ValueError(mode)
-
-    # lexicographic sort by (row, col); avoids building a 64-bit linear key
-    # (jax default int is 32-bit and n*n overflows past n ~ 46k)
-    rows_s, cols_s, vals_s = jax.lax.sort((rows, cols, vals), num_keys=2)
-    dup = jnp.concatenate([
-        jnp.array([False]),
-        (rows_s[1:] == rows_s[:-1]) & (cols_s[1:] == cols_s[:-1]),
-    ])
-    if mode == "mean":
-        # both directions contribute w/2 at the same key and sum to the
-        # mean; a lone direction contributes w/2, exactly 0.5*(A+A^T).
-        vals_out = vals_s
-    else:  # max: fold the duplicate into its predecessor via max, zero it
-        prev_val = jnp.concatenate([jnp.array([0.0], vals_s.dtype), vals_s[:-1]])
-        folded = jnp.where(dup, 0.0, vals_s)
-        take_max = jnp.maximum(vals_s, prev_val)
-        # position of the first of a duplicate pair: next is dup
-        nxt_dup = jnp.concatenate([dup[1:], jnp.array([False])])
-        nxt_val = jnp.concatenate([vals_s[1:], jnp.array([0.0], vals_s.dtype)])
-        vals_out = jnp.where(nxt_dup, jnp.maximum(vals_s, nxt_val), folded)
-        del take_max
+    n = g.indices.shape[0]
+    plan = symmetric_coo_plan(g)
+    vals_out = symmetric_coo_apply(plan, g.dists if weights is None
+                                   else weights, mode)
+    rows_s, cols_s = plan.rows, plan.cols
     if include_self:
         rows_s = jnp.concatenate([rows_s, jnp.arange(n, dtype=jnp.int32)])
         cols_s = jnp.concatenate([cols_s, jnp.arange(n, dtype=jnp.int32)])
         vals_out = jnp.concatenate(
             [vals_out, jnp.full((n,), self_weight, jnp.float32)])
     return rows_s, cols_s, vals_out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SymCooPlan:
+    """Sort plan for :func:`symmetric_coo`, reusable across weight
+    vectors on the same graph.
+
+    The lexicographic (row, col) sort is the O(nk log nk) part of the
+    symmetrization and depends only on the edge structure; callers that
+    symmetrize several kernels on one graph (the diffusion-maps beta<0
+    density pass) build the plan once and apply it per weight vector.
+    """
+
+    rows: jnp.ndarray   # (2nk,) sorted
+    cols: jnp.ndarray   # (2nk,)
+    perm: jnp.ndarray   # (2nk,) int32: position in the concatenated list
+    dup: jnp.ndarray    # (2nk,) bool: same (row, col) as predecessor
+
+
+def symmetric_coo_plan(g: KGraph) -> SymCooPlan:
+    """Compute the (row, col) sort permutation and duplicate mask once."""
+    n, k = g.indices.shape
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    dst = g.indices.reshape(-1)
+    rows = jnp.concatenate([src, dst])
+    cols = jnp.concatenate([dst, src])
+    # lexicographic sort by (row, col); avoids building a 64-bit linear key
+    # (jax default int is 32-bit and n*n overflows past n ~ 46k)
+    iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
+    rows_s, cols_s, perm = jax.lax.sort((rows, cols, iota), num_keys=2)
+    dup = jnp.concatenate([
+        jnp.array([False]),
+        (rows_s[1:] == rows_s[:-1]) & (cols_s[1:] == cols_s[:-1]),
+    ])
+    return SymCooPlan(rows=rows_s, cols=cols_s, perm=perm, dup=dup)
+
+
+def symmetric_coo_apply(plan: SymCooPlan, weights: jnp.ndarray,
+                        mode: str = "mean") -> jnp.ndarray:
+    """Symmetrized edge values for one weight vector under a plan."""
+    val = weights.reshape(-1).astype(jnp.float32)
+    vals_s = jnp.concatenate([val, val])[plan.perm]
+    if mode == "mean":
+        # both directions contribute w/2 at the same key and sum to the
+        # mean; a lone direction contributes w/2, exactly 0.5*(A+A^T).
+        return vals_s * 0.5
+    if mode != "max":
+        raise ValueError(mode)
+    # max: fold the duplicate into its predecessor via max, zero it
+    folded = jnp.where(plan.dup, 0.0, vals_s)
+    # position of the first of a duplicate pair: next is dup
+    nxt_dup = jnp.concatenate([plan.dup[1:], jnp.array([False])])
+    nxt_val = jnp.concatenate([vals_s[1:], jnp.array([0.0], vals_s.dtype)])
+    return jnp.where(nxt_dup, jnp.maximum(vals_s, nxt_val), folded)
 
 
 def coo_to_dense(rows, cols, vals, n: int) -> jnp.ndarray:

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..params import FULL_SVD_SIZE_LIMIT
-from ..linalg.rsvd import SvdResult, coo_matmat, full_svd_dense
+from ..linalg.rsvd import (SvdResult, coo_matmat, full_svd_dense,
+                           randomized_svd_coo)
 from .kgraph import KGraph, symmetric_coo, coo_to_dense
 
 logger = logging.getLogger(__name__)
@@ -57,8 +58,6 @@ class GraphLaplacian:
         if self.n <= FULL_SVD_SIZE_LIMIT:
             res = full_svd_dense(self.to_dense())
         else:
-            from ..linalg.rsvd import randomized_svd_coo
-            import jax
             rank = max(asked_dim, 20)
             if key is None:
                 key = jax.random.PRNGKey(4664397)
@@ -86,29 +85,38 @@ def laplacian_from_probas(g: KGraph, probas: jnp.ndarray) -> GraphLaplacian:
                           n=n)
 
 
-def laplacian_alfa_weighted(rows, cols, vals, n: int, alfa: float,
-                            normed_scales=None,
-                            mean_scale: float = 1.0) -> GraphLaplacian:
-    """Diffusion-maps Laplacian with density renormalization exponent alfa.
-
-    Reference diffmaps.rs:427-587 ``compute_laplacian``: starting from an
-    already *symmetric* kernel COO (self edges included):
+def alfa_normalize_coo(rows, cols, vals, n: int, alfa):
+    """Core alfa weighting + symmetric normalization, shared by
+    :func:`laplacian_alfa_weighted` and the fused diffusion-maps program
+    (`spectral/diffmaps.py::_dmap_laplacian_impl`):
       q_i   = kernel row sums (proxy density), normalized to mean ~1
       K_ij /= (q_i q_j)^alfa
       D_i   = new row sums (q_{eps,alfa} in Berry-Harlim)
       K_ij /= sqrt(D_i D_j)
-    and the stored normalizer is sqrt(D) (diffmaps.rs:565,579-584).
-    The reference's q_mean uses an odd 1/max_nbng factor
-    (diffmaps.rs:469,546) — a global constant that cancels in the final
-    D^{-1/2} normalization, so we use the plain mean.
-    """
+    Returns (vals, normalizer=sqrt(D)) (diffmaps.rs:565,579-584)."""
     q = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
     q = q / jnp.mean(q)
     vals = vals / jnp.power(jnp.maximum(q[rows] * q[cols], 1e-30), alfa)
     degrees = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
     d_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(degrees, 1e-30))
     vals = vals * d_inv_sqrt[rows] * d_inv_sqrt[cols]
+    return vals, jnp.sqrt(jnp.maximum(degrees, 0.0))
+
+
+def laplacian_alfa_weighted(rows, cols, vals, n: int, alfa: float,
+                            normed_scales=None,
+                            mean_scale: float = 1.0) -> GraphLaplacian:
+    """Diffusion-maps Laplacian with density renormalization exponent alfa.
+
+    Reference diffmaps.rs:427-587 ``compute_laplacian``: starting from an
+    already *symmetric* kernel COO (self edges included); see
+    :func:`alfa_normalize_coo` for the normalization chain.
+    The reference's q_mean uses an odd 1/max_nbng factor
+    (diffmaps.rs:469,546) — a global constant that cancels in the final
+    D^{-1/2} normalization, so we use the plain mean.
+    """
+    vals, normalizer = alfa_normalize_coo(rows, cols, vals, n, alfa)
     return GraphLaplacian(rows=rows, cols=cols, vals=vals,
-                          normalizer=jnp.sqrt(jnp.maximum(degrees, 0.0)),
+                          normalizer=normalizer,
                           n=n, normed_scales=normed_scales,
                           mean_scale=mean_scale)

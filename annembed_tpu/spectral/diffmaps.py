@@ -14,7 +14,10 @@ Rebuilds reference src/diffmaps.rs as vectorized JAX:
   * alfa-weighted symmetric normalized Laplacian (diffmaps.rs:427)
   * spectral embedding with diffusion time t:
     coord_ij = clip(lambda_{j+1}^t * u_{i,j+1} / (scale_i *
-    sqrt(D_i / mean(D))), 10)  (diffmaps.rs:1145-1243)
+    sqrt(N_i / mean(N))), 10) where N = the stored normalizer =
+    sqrt(D), exactly as the reference applies it (diffmaps.rs:1226-1232
+    takes sqrt(normalizer/mean) of the *already-sqrt* degrees stored at
+    diffmaps.rs:565; replicated bit-for-bit for parity)
 """
 
 from __future__ import annotations
@@ -28,8 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from ..params import DiffusionParams, PROBA_MIN
-from ..graph.kgraph import KGraph, symmetric_coo
-from ..graph.laplacian import GraphLaplacian, laplacian_from_probas
+from ..graph.kgraph import (KGraph, symmetric_coo_plan, symmetric_coo_apply)
+from ..graph.laplacian import (GraphLaplacian, alfa_normalize_coo,
+                               laplacian_from_probas)
 
 logger = logging.getLogger(__name__)
 
@@ -71,14 +75,15 @@ def _kernel_weights(dists, indices, rho, epsil_sqrt):
     return w, self_w
 
 
-def _symmetric_kernel_coo(g: KGraph, w: jnp.ndarray, self_w: jnp.ndarray):
+def _symmetric_kernel_coo(plan, n: int, w: jnp.ndarray, self_w: jnp.ndarray):
     """Symmetrize with max(w_ij, w_ji) (diffmaps.rs:531) and append the
-    self edges."""
-    n = g.nb_nodes
-    rows, cols, vals = symmetric_coo(g, weights=w, mode="max")
-    rows = jnp.concatenate([rows, jnp.arange(n, dtype=jnp.int32)])
-    cols = jnp.concatenate([cols, jnp.arange(n, dtype=jnp.int32)])
-    vals = jnp.concatenate([vals, self_w.astype(jnp.float32)])
+    self edges.  ``plan`` is a precomputed :class:`SymCooPlan` — the
+    beta<0 path symmetrizes two kernels on the same edge structure and
+    pays the O(nk log nk) sort once."""
+    rows = jnp.concatenate([plan.rows, jnp.arange(n, dtype=jnp.int32)])
+    cols = jnp.concatenate([plan.cols, jnp.arange(n, dtype=jnp.int32)])
+    vals = jnp.concatenate([symmetric_coo_apply(plan, w, mode="max"),
+                            self_w.astype(jnp.float32)])
     return rows, cols, vals
 
 
@@ -94,7 +99,8 @@ def _spectral_coords(lambdas, u, scales, normalizer, t_val,
                      real_dim: int, auto_time: bool):
     """Diffusion coordinates from the spectral data
     (diffmaps.rs:1196-1237): coord_ij = clip(lambda_{j+1}^t u_{i,j+1}
-    / (scale_i sqrt(D_i / mean D)), 10)."""
+    / (scale_i sqrt(N_i / mean N)), 10) with N the stored normalizer
+    (= sqrt(D) on the dmap path, matching the reference exactly)."""
     norm_l = lambdas / lambdas[0]
     if auto_time:
         # t s.t. (lambda_2/lambda_1)^t < 0.9 capped at 5
@@ -126,9 +132,10 @@ def _dmap_laplacian_impl(indices, dists, gnbn: int, epsil, beta, alfa,
     rho, mean = _local_scales(dists, gnbn)
     epsil_sqrt = jnp.sqrt(epsil)
     g = KGraph(indices=indices, dists=dists)
+    plan = symmetric_coo_plan(g)
     if beta_is_neg:
         w, sw = _kernel_weights(dists, indices, rho, epsil_sqrt)
-        rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
+        rows, cols, vals = _symmetric_kernel_coo(plan, n, w, sw)
         q = _density_from_kernel(rows, cols, vals, n)
         beta_scales = jnp.power(q, beta) * mean
         w, sw = _kernel_weights(dists, indices, beta_scales, epsil_sqrt)
@@ -136,15 +143,8 @@ def _dmap_laplacian_impl(indices, dists, gnbn: int, epsil, beta, alfa,
         q = None
         const = jnp.full_like(rho, mean)
         w, sw = _kernel_weights(dists, indices, const, epsil_sqrt)
-    rows, cols, vals = _symmetric_kernel_coo(g, w, sw)
-    # alfa weighting + symmetric normalization (laplacian_alfa_weighted)
-    qd = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
-    qd = qd / jnp.mean(qd)
-    vals = vals / jnp.power(jnp.maximum(qd[rows] * qd[cols], 1e-30), alfa)
-    degrees = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
-    d_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(degrees, 1e-30))
-    vals = vals * d_inv_sqrt[rows] * d_inv_sqrt[cols]
-    normalizer = jnp.sqrt(jnp.maximum(degrees, 0.0))
+    rows, cols, vals = _symmetric_kernel_coo(plan, n, w, sw)
+    vals, normalizer = alfa_normalize_coo(rows, cols, vals, n, alfa)
     return rows, cols, vals, normalizer, rho, mean, q
 
 
@@ -232,7 +232,11 @@ def get_dmap_embedding(g: KGraph, probas: jnp.ndarray, asked_dim: int,
     lap = laplacian_from_probas(g, probas)
     svd_res = lap.do_svd(asked_dim + 25, key=key)
     lambdas, u = svd_res.s, svd_res.u
-    real_dim = min(asked_dim, u.shape[1])
+    # the reference clamps to u.ncols() and would then index column
+    # real_dim out of bounds (diffmaps.rs:1326); clamp to ncols-1 as its
+    # embed_from_laplacian does (diffmaps.rs:1208) since column 0 is
+    # skipped
+    real_dim = min(asked_dim, u.shape[1] - 1)
     norm_l = lambdas / lambdas[0]
     if t_opt is not None:
         time = jnp.float32(t_opt)
