@@ -68,6 +68,22 @@ def _to_proba_edges_impl(indices, dists, scale_rho, beta):
     rho = dists[:, 0]                           # (n,) dist to 1st neighbour
     rho_nbrs = rho[indices]                     # (n, k)
     mean_rho = (jnp.sum(rho_nbrs, axis=1) + rho) / (k + 1.0)
+    # guard against the IVF no-candidate sentinel (knn/ivf.py::
+    # _fixup_underfilled pins fully-broken rows at dist 1e30): one such
+    # row must not blow up the mean-rho calibration of every node that
+    # lists it — recompute the mean without sentinel contributions for
+    # exactly the affected rows (a where keeps clean rows bit-identical
+    # to the unguarded expression).  A node that is itself a sentinel
+    # keeps rho (uniform probas for that one row only, harmless).
+    ok = rho < 1e29                             # (n,) bool
+    ok_nbrs = ok[indices]                       # (n, k) bool
+    affected = ~(jnp.all(ok_nbrs, axis=1) & ok)
+    okf = ok.astype(jnp.float32)
+    oknf = ok_nbrs.astype(jnp.float32)
+    num = jnp.sum(rho_nbrs * oknf, axis=1) + rho * okf
+    den = jnp.sum(oknf, axis=1) + okf
+    mean_guard = jnp.where(den > 0.0, num / jnp.maximum(den, 1.0), rho)
+    mean_rho = jnp.where(affected, mean_guard, mean_rho)
     scale = scale_rho * mean_rho                # (n,)
 
     first = dists[:, :1]                        # (n, 1)

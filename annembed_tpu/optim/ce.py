@@ -63,7 +63,8 @@ class EdgeSet:
     # reference; edge_cdf is kept for the stratified sharded path)
     edge_prob: Optional[jnp.ndarray] = None   # (E,) f32
     edge_alias: Optional[jnp.ndarray] = None  # (E,) i32
-    neg_cdf: Optional[jnp.ndarray] = None  # (n,) hubness-weighted sampling
+    # hubness-weighted negative sampling (alias tables; the sharded
+    # path builds its own per-shard cdf)
     neg_prob: Optional[jnp.ndarray] = None
     neg_alias: Optional[jnp.ndarray] = None
 
@@ -93,16 +94,14 @@ def build_edge_set(g: KGraph, npar: NodeParams,
     cdf = jnp.cumsum(w)
     cdf = cdf / cdf[-1]
     edge_prob, edge_alias = build_alias_table(w)
-    neg_cdf = neg_prob = neg_alias = None
+    neg_prob = neg_alias = None
     if hubness_weights is not None:
-        hw = jnp.cumsum(hubness_weights.astype(jnp.float32))
-        neg_cdf = hw / hw[-1]
         neg_prob, neg_alias = build_alias_table(hubness_weights)
     return EdgeSet(src=src, dst=dst, weight=w, edge_cdf=cdf,
                    neighbors=g.indices,
                    embedded_scale=embedded_scales_from_initial(npar.scale),
                    edge_prob=edge_prob, edge_alias=edge_alias,
-                   neg_cdf=neg_cdf, neg_prob=neg_prob, neg_alias=neg_alias)
+                   neg_prob=neg_prob, neg_alias=neg_alias)
 
 
 # ---------------------------------------------------------------------------
@@ -315,23 +314,28 @@ def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
     """Full optimization: nb_grad_batch outer batches, linear step decay
     gamma_0 * (1 - iter/nb_batch) (embedder.rs:873-879), each batch made
     of steps_per_batch synchronous mini-batches.  Split into bounded
-    scan segments (one compile, several dispatches)."""
-    total_steps = steps_per_batch * nb_grad_batch
+    scan segments (one compile, several dispatches).
+
+    The schedule's final batch runs at gamma = 0 (batch_idx =
+    nb_grad_batch zeroes the linear decay) — a provable per-step no-op,
+    so it is skipped outright, same as the dense path."""
+    total_steps = steps_per_batch * max(nb_grad_batch - 1, 0)
+    if total_steps == 0:
+        return y0
     seg = min(total_steps, MAX_STEPS_PER_PROGRAM)
     n_segs = -(-total_steps // seg)
     keys = jax.random.split(key, n_segs * seg)
-    fn = jax.jit(_optimize_segment,
-                 static_argnames=("grad_step_init", "b", "batch_size",
-                                  "steps_per_batch", "nb_grad_batch",
-                                  "collision_mode"))
     y = y0
     for s in range(n_segs):
         # trailing segment steps beyond total run with gamma <= 0 and
-        # are harmless; keep shapes static instead of slicing ragged
-        y = fn(y, es, keys[s * seg:(s + 1) * seg],
-               jnp.int32(s * seg), grad_step_init=grad_step_init, b=b,
-               batch_size=batch_size, steps_per_batch=steps_per_batch,
-               nb_grad_batch=nb_grad_batch, collision_mode=collision_mode)
+        # are harmless; keep shapes static instead of slicing ragged.
+        # _optimize_segment is module-level jitted — calling it directly
+        # keeps one compile cache across optimize() invocations.
+        y = _optimize_segment(
+            y, es, keys[s * seg:(s + 1) * seg],
+            jnp.int32(s * seg), grad_step_init=grad_step_init, b=b,
+            batch_size=batch_size, steps_per_batch=steps_per_batch,
+            nb_grad_batch=nb_grad_batch, collision_mode=collision_mode)
     return y
 
 

@@ -206,8 +206,11 @@ def _repulsion_sweep(y, y_pool, pool_offset, indices, emb_scale, gamma,
 def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
                             b: float, n_neg: int, neg_weight=None):
     """Identity-pool repulsion: node at position i takes positions
-    (i*n_neg + t + offset) mod n of the CURRENT y as negatives — a pure
-    roll/reshape, zero gathers.  Valid because the caller relabels all
+    (i*n_neg + t + offset*n_neg) mod n of the CURRENT y as negatives — a
+    pure roll/reshape, zero gathers.  (The ``offset`` convention differs
+    from ``_repulsion_sweep``, which uses it unscaled; the two variants
+    are only interchangeable at offset = 0.)  Valid because the caller
+    relabels all
     nodes by one global random permutation at build time, so positions
     are uniformly random with respect to the data.
 
@@ -617,5 +620,7 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
             "n_groups": n_groups, "f_min": float(params.dense_f_min),
             "mask_p": float(params.dense_mask_p),
-            "sweeps": int(params.nb_grad_batch) * n_sub}
+            # executed sweeps: the schedule's zero-gamma final batch is
+            # skipped (see total_steps in dense_optimize)
+            "sweeps": max(int(params.nb_grad_batch) - 1, 0) * n_sub}
     return y, info

@@ -134,3 +134,32 @@ def test_proba_edges_beta_half(rng):
     # steeper beta flattens less: perplexity differs from beta=1
     p1 = to_proba_edges(g, scale_rho=1.0, beta=1.0)
     assert not np.allclose(np.asarray(npar.probas), np.asarray(p1.probas))
+
+
+def test_proba_edges_sentinel_rho_isolated(rng):
+    """A fully-broken IVF fallback row (dist pinned at 1e30 by
+    knn/ivf.py::_fixup_underfilled) must not contaminate the mean-rho
+    calibration of nodes that list it as a neighbour."""
+    g = make_graph(rng, n=120, k=6)
+    idx = np.asarray(g.indices).copy()
+    dst = np.asarray(g.dists).copy()
+    # break node 7: no valid candidates -> sentinel distances
+    dst[7, :] = 1e30
+    # make sure several nodes list 7 as a neighbour
+    victims = [3, 11, 42]
+    for v in victims:
+        idx[v, 2] = 7
+    broken = KGraph(indices=jnp.asarray(idx), dists=jnp.asarray(dst))
+    npar = to_proba_edges(broken, scale_rho=1.0, beta=1.0)
+    clean = to_proba_edges(g, scale_rho=1.0, beta=1.0)
+    scale_b = np.asarray(npar.scale)
+    scale_c = np.asarray(clean.scale)
+    for v in victims:
+        # scale stays finite and in the same ballpark as the clean graph
+        assert scale_b[v] < 1e3, scale_b[v]
+        assert 0.2 < scale_b[v] / scale_c[v] < 5.0
+    # probas still normalized everywhere
+    np.testing.assert_allclose(np.asarray(npar.probas.sum(axis=1)), 1.0,
+                               rtol=1e-5)
+    # the broken row itself degrades to uniform (scale blows up only there)
+    np.testing.assert_allclose(np.asarray(npar.probas[7]), 1.0 / 6, rtol=1e-4)
