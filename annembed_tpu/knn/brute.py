@@ -31,18 +31,22 @@ from .distances import get_panel_fn, corpus_sqnorm
 _RERANK_EXTRA = 8
 
 
-def _exact_l2_rerank(q, x, cand_idx, k, self_ids=None):
+def _exact_l2_rerank(q, x, cand_idx, k, self_ids=None, valid_n=None):
     """Re-rank candidate indices by exact L2 distance.
 
     q: (b, d), cand_idx: (b, kk) -> (idx (b, k) int32, dist (b, k)).
     ``self_ids`` (b,) masks the query's own id BEFORE selection: when
     kk reaches n (tiny corpora) the panel's masked self column re-enters
     the candidate set and its recomputed exact distance (0) would win.
+    ``valid_n`` (traced scalar) masks padded corpus rows the same way —
+    their recomputed distance to the zero pad row must never win.
     """
     xc = x[cand_idx]  # (b, kk, d)
     d2 = jnp.sum(jnp.square(q[:, None, :] - xc), axis=-1)  # (b, kk)
     if self_ids is not None:
         d2 = jnp.where(cand_idx == self_ids[:, None], jnp.inf, d2)
+    if valid_n is not None:
+        d2 = jnp.where(cand_idx >= valid_n, jnp.inf, d2)
     neg_d2, pos = jax.lax.top_k(-d2, k)
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
@@ -113,7 +117,12 @@ def knn_graph_brute(x, k: int, distance: str = "DistL2",
 
 @functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
                                              "dtype_name"))
-def _search_impl(queries, corpus, k, distance, block_rows, dtype_name):
+def _search_impl(queries, corpus, valid_n, k, distance, block_rows,
+                 dtype_name):
+    """``valid_n`` is a TRACED scalar: the number of real corpus rows.
+    The chunked caller pads its last chunk to the fixed chunk width so
+    every chunk reuses one compiled program; columns >= valid_n are
+    masked to +inf (both in the panel and after the exact rerank)."""
     nq, d = queries.shape
     n = corpus.shape[0]
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -129,9 +138,11 @@ def _search_impl(queries, corpus, k, distance, block_rows, dtype_name):
 
     def one_block(q):
         dist = panel_fn(q, corpus, x_sq, dtype=dtype)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(col < valid_n, dist, jnp.inf)
         neg_d, idx = jax.lax.top_k(-dist, kk)
         if rerank:
-            return _exact_l2_rerank(q, corpus, idx, k)
+            return _exact_l2_rerank(q, corpus, idx, k, valid_n=valid_n)
         return idx.astype(jnp.int32), -neg_d
 
     idx, dists = jax.lax.map(one_block, q_blocks)
@@ -180,22 +191,22 @@ def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
     if n <= corpus_chunk:
-        return _search_impl(queries, corpus, k, distance, block_rows,
-                            dtype)
+        return _search_impl(queries, corpus, jnp.int32(n), k, distance,
+                            block_rows, dtype)
     best_d = best_i = None
     for c0 in range(0, n, corpus_chunk):
         c1 = min(c0 + corpus_chunk, n)
-        ci, cd = _search_impl(queries, corpus[c0:c1], min(k, c1 - c0),
+        chunk = corpus[c0:c1]
+        if c1 - c0 < corpus_chunk:
+            # pad the remainder chunk to the fixed width so it reuses
+            # the compiled program (pad columns are masked by valid_n)
+            chunk = jnp.pad(chunk, ((0, corpus_chunk - (c1 - c0)), (0, 0)))
+        ci, cd = _search_impl(queries, chunk, jnp.int32(c1 - c0), k,
                               distance, block_rows, dtype)
         cd.block_until_ready()       # serialize chunk workspaces
         ci = ci + c0
         if best_d is None:
             best_d, best_i = cd, ci
         else:
-            if cd.shape[1] < best_d.shape[1]:
-                pad = best_d.shape[1] - cd.shape[1]
-                cd = jnp.pad(cd, ((0, 0), (0, pad)),
-                             constant_values=jnp.inf)
-                ci = jnp.pad(ci, ((0, 0), (0, pad)))
             best_d, best_i = _merge_topk_sorted(best_d, best_i, cd, ci)
     return best_i, best_d

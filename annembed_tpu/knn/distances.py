@@ -9,6 +9,11 @@ The central object is a *panel*: distances between a block of queries
 ``q: (b, d)`` and the full corpus ``x: (m, d)``.  L2 and cosine ride the
 MXU via a single matmul; L1/Jeffreys/JensenShannon are vectorized
 reductions (VPU) computed in corpus tiles to bound memory.
+
+Each metric's elementwise formula lives exactly once, in its
+broadcastable pair function (``_l1_pair`` etc.); the VPU panels are the
+same function tiled over the corpus, so panel construction and
+gather-style joins (IVF local join, NN-descent scoring) cannot drift.
 """
 
 from __future__ import annotations
@@ -21,7 +26,64 @@ import jax.numpy as jnp
 Metric = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 _EPS = 1.0e-12
+#: probability-vector clamp used by hnsw_rs (distances.rs ``M_MIN``);
+#: materially larger clamps change Jeffreys distances on sparse vectors
+_M_MIN = 1.0e-30
 
+
+# ---------------------------------------------------------------------------
+# broadcastable pair-distance forms — the single source of truth per
+# metric; used directly for gather-style joins and tiled into panels
+# ---------------------------------------------------------------------------
+
+def _l2_pair(a, b):
+    return jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(a - b), -1), 0.0))
+
+
+def _l1_pair(a, b):
+    return jnp.sum(jnp.abs(a - b), -1)
+
+
+def _cosine_pair(a, b):
+    num = jnp.sum(a * b, -1)
+    na = jnp.sqrt(jnp.sum(jnp.square(a), -1))
+    nb = jnp.sqrt(jnp.sum(jnp.square(b), -1))
+    cos = num / jnp.maximum(na * nb, _EPS)
+    # hnsw_rs DistCosine returns distance 0 when either norm is zero
+    # (degenerate input; replicated for graph parity with the reference)
+    return jnp.where((na <= 0.0) | (nb <= 0.0), 0.0, 1.0 - cos)
+
+
+def _jeffreys_pair(a, b):
+    # hnsw_rs DistJeffreys clamps components at M_MIN = 1e-30
+    ratio = jnp.maximum(a, _M_MIN) / jnp.maximum(b, _M_MIN)
+    return jnp.sum((a - b) * jnp.log(ratio), -1)
+
+
+def _xlogy(p, r):
+    # p * log(r) with 0 log 0 = 0
+    return jnp.where(p > 0.0, p * jnp.log(jnp.maximum(r, _EPS)), 0.0)
+
+
+def _js_pair(a, b):
+    m = 0.5 * (a + b)
+    js = 0.5 * jnp.sum(_xlogy(a, a / jnp.maximum(m, _EPS)), axis=-1) \
+        + 0.5 * jnp.sum(_xlogy(b, b / jnp.maximum(m, _EPS)), axis=-1)
+    return jnp.sqrt(jnp.maximum(js, 0.0))
+
+
+_PAIRS = {
+    "DistL2": _l2_pair,
+    "DistL1": _l1_pair,
+    "DistCosine": _cosine_pair,
+    "DistJeffreys": _jeffreys_pair,
+    "DistJensenShannon": _js_pair,
+}
+
+
+# ---------------------------------------------------------------------------
+# panels
+# ---------------------------------------------------------------------------
 
 def l2_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm: jnp.ndarray | None = None,
              dtype=jnp.float32) -> jnp.ndarray:
@@ -43,7 +105,8 @@ def l2_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm: jnp.ndarray | None = None
 
 def cosine_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
                  dtype=jnp.float32) -> jnp.ndarray:
-    """Cosine distance 1 - cos(q, x), as in hnsw_rs ``DistCosine``."""
+    """Cosine distance 1 - cos(q, x), as in hnsw_rs ``DistCosine``
+    (including its zero-norm -> distance 0 convention)."""
     qf = q.astype(dtype)
     xf = x.astype(dtype)
     q_n = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
@@ -52,7 +115,8 @@ def cosine_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
     x_n = jnp.sqrt(x_sqnorm)
     cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32)
     cos = cross / jnp.maximum(q_n[:, None] * x_n[None, :], _EPS)
-    return 1.0 - cos
+    zero = (q_n[:, None] <= 0.0) | (x_n[None, :] <= 0.0)
+    return jnp.where(zero, 0.0, 1.0 - cos)
 
 
 def _tiled_vpu_panel(q: jnp.ndarray, x: jnp.ndarray, pair_fn,
@@ -80,14 +144,8 @@ def l1_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
              dtype=jnp.float32) -> jnp.ndarray:
     """L1 (Manhattan) distance panel, hnsw_rs ``DistL1``."""
     del x_sqnorm, dtype
-    return _tiled_vpu_panel(
-        q.astype(jnp.float32), x.astype(jnp.float32),
-        lambda a, b_: jnp.sum(jnp.abs(a - b_), axis=-1))
-
-
-def _xlogy(p, r):
-    # p * log(r) with 0 log 0 = 0
-    return jnp.where(p > 0.0, p * jnp.log(jnp.maximum(r, _EPS)), 0.0)
+    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32),
+                            _l1_pair)
 
 
 def jeffreys_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
@@ -95,26 +153,16 @@ def jeffreys_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
     """Jeffreys divergence sum_i (p_i - q_i) ln(p_i/q_i) for probability
     vectors (hnsw_rs ``DistJeffreys``)."""
     del x_sqnorm, dtype
-
-    def pair(a, b_):
-        ratio = jnp.maximum(a, _EPS) / jnp.maximum(b_, _EPS)
-        return jnp.sum((a - b_) * jnp.log(ratio), axis=-1)
-
-    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32), pair)
+    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32),
+                            _jeffreys_pair)
 
 
 def jensenshannon_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
                         dtype=jnp.float32) -> jnp.ndarray:
     """sqrt of Jensen-Shannon divergence (hnsw_rs ``DistJensenShannon``)."""
     del x_sqnorm, dtype
-
-    def pair(a, b_):
-        m = 0.5 * (a + b_)
-        js = 0.5 * jnp.sum(_xlogy(a, a / jnp.maximum(m, _EPS)), axis=-1) \
-            + 0.5 * jnp.sum(_xlogy(b_, b_ / jnp.maximum(m, _EPS)), axis=-1)
-        return jnp.sqrt(jnp.maximum(js, 0.0))
-
-    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32), pair)
+    return _tiled_vpu_panel(q.astype(jnp.float32), x.astype(jnp.float32),
+                            _js_pair)
 
 
 _PANELS = {
@@ -123,46 +171,6 @@ _PANELS = {
     "DistCosine": cosine_panel,
     "DistJeffreys": jeffreys_panel,
     "DistJensenShannon": jensenshannon_panel,
-}
-
-
-# --- broadcastable pair-distance forms (for gather-style joins: IVF
-# local join, NN-descent candidate scoring), matching the panels above
-# exactly -------------------------------------------------------------
-
-def _l2_pair(a, b):
-    return jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(a - b), -1), 0.0))
-
-
-def _l1_pair(a, b):
-    return jnp.sum(jnp.abs(a - b), -1)
-
-
-def _cosine_pair(a, b):
-    num = jnp.sum(a * b, -1)
-    den = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(a), -1))
-                      * jnp.sqrt(jnp.sum(jnp.square(b), -1)), _EPS)
-    return 1.0 - num / den
-
-
-def _jeffreys_pair(a, b):
-    ratio = jnp.maximum(a, _EPS) / jnp.maximum(b, _EPS)
-    return jnp.sum((a - b) * jnp.log(ratio), -1)
-
-
-def _js_pair(a, b):
-    m = 0.5 * (a + b)
-    js = 0.5 * jnp.sum(_xlogy(a, a / jnp.maximum(m, _EPS)), axis=-1) \
-        + 0.5 * jnp.sum(_xlogy(b, b / jnp.maximum(m, _EPS)), axis=-1)
-    return jnp.sqrt(jnp.maximum(js, 0.0))
-
-
-_PAIRS = {
-    "DistL2": _l2_pair,
-    "DistL1": _l1_pair,
-    "DistCosine": _cosine_pair,
-    "DistJeffreys": _jeffreys_pair,
-    "DistJensenShannon": _js_pair,
 }
 
 

@@ -50,9 +50,15 @@ class KGraphProjection:
         return self.sample_ids.shape[0]
 
     def projection_distance_quantiles(self):
-        """Reference get_projection_distance_quant (kgproj.rs:403)."""
+        """Reference get_projection_distance_quant (kgproj.rs:403).
+
+        Quantiles run over ALL points, sampled ones included at their
+        identity-projection distance 0 — the reference does the same
+        (kgproj.rs:254-267 inserts weight-0 edges for upper-layer
+        points into proj_data, and :405 iterates all of proj_data), so
+        the h_embed jitter median (embedder.rs:255) sees those zeros
+        there too."""
         qs = jnp.array([0.05, 0.5, 0.95, 0.99])
-        # only non-sample points have a meaningful projection distance
         return {f"q{q:g}": float(v) for q, v in
                 zip(qs.tolist(), jnp.quantile(self.proj_dist, qs).tolist())}
 
@@ -81,8 +87,7 @@ def build_projection(x, knbn: int, sample_fraction: float = 0.05,
     proj_small_idx = proj_dist = None
     if distance == "DistL2":
         try:
-            import jax as _jax
-            if _jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu":
                 from ..ops.top1 import top1_l2
                 proj_small_idx, proj_dist = top1_l2(x, xs)
         except Exception as exc:  # pragma: no cover - backend dependent

@@ -137,3 +137,41 @@ def test_search_corpus_chunked_matches():
     i2, d2 = knn_search_brute(q, corpus, k=5, corpus_chunk=128)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_chunked_search_remainder_padded(rng):
+    """Chunked corpus search pads the remainder chunk (one compiled
+    program for all chunks) and still matches the unchunked result."""
+    corpus = rng.normal(size=(230, 7)).astype(np.float32)
+    queries = rng.normal(size=(19, 7)).astype(np.float32)
+    i1, d1 = knn_search_brute(queries, corpus, k=6)
+    # corpus_chunk=100 -> chunks of 100/100/30 (remainder padded)
+    i2, d2 = knn_search_brute(queries, corpus, k=6, corpus_chunk=100)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    # remainder smaller than k: 100/100/30 with k=40
+    i3, d3 = knn_search_brute(queries, corpus, k=40, corpus_chunk=100)
+    i4, d4 = knn_search_brute(queries, corpus, k=40)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
+def test_cosine_zero_norm_reference_convention(rng):
+    """hnsw_rs DistCosine returns 0 when either norm is zero."""
+    a = rng.normal(size=(4, 5)).astype(np.float32)
+    a[1] = 0.0
+    panel = np.asarray(D.cosine_panel(jnp.asarray(a), jnp.asarray(a)))
+    assert np.allclose(panel[1], 0.0)      # zero row vs everything
+    assert np.allclose(panel[:, 1], 0.0)
+    pair = D.get_pair_fn("DistCosine")
+    pd = np.asarray(pair(jnp.asarray(a)[:, None, :], jnp.asarray(a)[None]))
+    np.testing.assert_allclose(pd, panel, atol=1e-6)
+
+
+def test_jeffreys_sparse_clamp(rng):
+    """Zero components clamp at hnsw_rs's M_MIN=1e-30, not a loose eps."""
+    p = np.array([[0.0, 0.5, 0.5]], np.float32)
+    q = np.array([[0.01, 0.495, 0.495]], np.float32)
+    got = float(np.asarray(D.jeffreys_panel(jnp.asarray(p), jnp.asarray(q)))[0, 0])
+    expect = float(((p - q) * np.log(np.maximum(p, 1e-30) /
+                                     np.maximum(q, 1e-30))).sum())
+    assert abs(got - expect) / abs(expect) < 1e-4
