@@ -9,7 +9,9 @@ csv paths.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
+import os
 import time
 from typing import Optional, Union
 
@@ -100,24 +102,27 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     x = _load(csv, delim, quality_sampling)
     if params is None:
         params = EmbedderParams()
-    params.asked_dim = dim
-    params.nb_grad_batch = batch
-    params.nb_sampling_by_edge = nbsample
-    params.scale_rho = scale
-    params.hierarchy_layer = layer
-    params.seed = seed
+    # the six CLI-surface kwargs always win (callers pass ``params``
+    # for the knobs without a kwarg, e.g. grad_factor / n_sub); the
+    # caller's object is copied, never mutated
+    params = dataclasses.replace(
+        params, asked_dim=dim, nb_grad_batch=batch,
+        nb_sampling_by_edge=nbsample, scale_rho=scale,
+        hierarchy_layer=layer, seed=seed)
     if knn_params is None:
         knn_params = KnnParams(knbn=nbng, distance=distance)
-    # sync mode up front for big runs AND whenever the IVF path will
-    # run (it performs a one-int readback to trim its virtual rows —
-    # that readback must not be the process's first, see PERF.md)
+    # sync mode up front for big runs, whenever the IVF path will run
+    # (it performs a one-int readback to trim its virtual rows — that
+    # readback must not be the process's first, see PERF.md), and
+    # whenever embedding checkpoints are on (the eager dump/resume is
+    # itself a mid-pipeline readback)
     if (x.shape[0] >= 500_000
-            or x.shape[0] > knn_params.brute_force_limit):
+            or x.shape[0] > knn_params.brute_force_limit
+            or embed_cache is not None):
         _ensure_eager_execution()
 
     t0 = time.perf_counter()
     if layer > 0:
-        import os
         if graph_cache and os.path.exists(graph_cache):
             from .io.checkpoint import load_projection
             proj = load_projection(graph_cache)
@@ -136,7 +141,6 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     else:
         # graph checkpoint/resume: the TPU analogue of the reference's
         # HnswIo dump/reload (examples/higgs.rs:397-474)
-        import os
         if graph_cache and os.path.exists(graph_cache):
             from .io.checkpoint import load_kgraph
             g = load_kgraph(graph_cache)
@@ -154,13 +158,18 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     # estimator's second kNN build) runs before the first device->host
     # readback — a readback permanently degrades all later dispatches
     # on remote-dispatch runtimes (one sync point at the end).
-    import os
     if embed_cache and os.path.exists(embed_cache):
         # resume: hour-scale optimizes whose quality phase died (e.g.
         # a transient device fault) restart straight into quality
         import jax.numpy as jnp
         from .io.checkpoint import load_embedding
-        y_dev = jnp.asarray(load_embedding(embed_cache))
+        y_np = load_embedding(embed_cache)
+        if y_np.shape != (x.shape[0], dim):
+            raise ValueError(
+                f"embed_cache {embed_cache!r} has shape {y_np.shape}, "
+                f"expected {(x.shape[0], dim)} — stale checkpoint from "
+                "another run? delete it or fix the path")
+        y_dev = jnp.asarray(y_np)
         emb.embedding = y_dev
         logger.info("loaded embedding checkpoint from %s", embed_cache)
     else:
@@ -174,7 +183,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     q = None
     if with_quality:
         q = emb.get_quality_estimate_from_edge_length(
-            nbng=quality_nbng, sample_fraction=quality_fraction)
+            nbng=quality_nbng, sample_fraction=quality_fraction,
+            knn_params=knn_params)
     y = np.asarray(y_dev)
     info = _finalize_info(emb.info)
     info["graph_build_time"] = graph_build_time
@@ -182,7 +192,6 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     if return_graph:
         info["kgraph"] = emb.get_kgraph()
     if graph_cache:
-        import os
         if not os.path.exists(graph_cache):
             # written after the final sync (not right after the build):
             # the np conversion inside is a device->host readback, and
@@ -204,7 +213,6 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             "probabilities": res.probabilities,
         }
         if outfile:
-            import os
             from .io.csv_io import write_csv_labeled_array2
             d = os.path.dirname(os.fspath(outfile)) or "."
             write_csv_labeled_array2(os.path.join(d, "clusters.csv"),
@@ -214,15 +222,18 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
         if outfile:
             # per-node diagnostic dumps next to the embedding
             # (reference embedder.rs:729-743 writes first_dist.csv and
-            # continuity_ratio.csv)
-            import os
+            # continuity_ratio.csv).  Under quality sampling the stat
+            # rows follow q.sample_ids — pair them with the SAME rows
+            # of the embedding, not the first m rows
             from .io.csv_io import write_csv_labeled_array2
             d = os.path.dirname(os.fspath(outfile)) or "."
+            y_rows = y if q.sample_ids is None \
+                else y[np.asarray(q.sample_ids)]
             write_csv_labeled_array2(os.path.join(d, "first_dist.csv"),
-                                     np.asarray(q.first_dist), y)
+                                     np.asarray(q.first_dist), y_rows)
             write_csv_labeled_array2(
                 os.path.join(d, "continuity_ratio.csv"),
-                np.asarray(q.ratio_by_node), y)
+                np.asarray(q.ratio_by_node), y_rows)
     if outfile:
         from .io.csv_io import write_csv_array2
         write_csv_array2(outfile, y)

@@ -65,7 +65,8 @@ def intrinsic_dim_levina_bickel(g: KGraph,
     n, k = g.dists.shape
     if k >= 20:
         k_first, k_last = 8, 19
-    elif k > 3:
+    elif k >= 3:
+        # k == 3 gives the single-k range [2, 2], still computable
         k_first, k_last = 2, k - 1
     else:
         raise ValueError("not enough neighbours for dimension estimation")

@@ -37,13 +37,17 @@ class Hubness:
         return float(jnp.mean(((c - mu) / sigma) ** 3))
 
     def get_hubness_histogram(self, nb_bins: int = 50) -> Dict[str, float]:
-        """Quantiles of the in-degree distribution (hubness.rs:111-156)."""
+        """Quantiles of the in-degree distribution (hubness.rs:111-156).
+        All scalars ride ONE device->host transfer (the repo-wide
+        single-readback pattern, cf. estimators/quality.py)."""
         c = self.counts.astype(jnp.float32)
-        qs = jnp.array([0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999])
-        out = {f"q{q:g}": float(v) for q, v in
-               zip(qs.tolist(), jnp.quantile(c, qs).tolist())}
-        out["mean"] = float(c.mean())
-        out["max"] = float(c.max())
+        q_list = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999)
+        qs = jnp.array(q_list)
+        packed = jnp.concatenate([jnp.quantile(c, qs),
+                                  c.mean()[None], c.max()[None]]).tolist()
+        out = {f"q{q:g}": v for q, v in zip(q_list, packed[:-2])}
+        out["mean"] = packed[-2]
+        out["max"] = packed[-1]
         del nb_bins
         return out
 

@@ -97,3 +97,31 @@ def test_cli_dmapembed(tmp_path, rng):
     info = json.loads(res.stdout.strip().split("\n")[-1])
     assert info["n"] == 120 and info["dim"] == 3
     assert out.exists()
+
+
+def test_embed_params_not_mutated_and_sampled_csv_alignment(tmp_path, rng):
+    """params= objects are copied (kwargs win for their six fields but
+    the caller's instance is untouched); under quality sampling the
+    first_dist/continuity_ratio dumps pair stats with the SAME rows of
+    the embedding (q.sample_ids), not the first m rows."""
+    from annembed_tpu.params import EmbedderParams
+    x = blobs(rng, n_per=60)
+    p = EmbedderParams(grad_factor=3, n_sub=7)
+    out = tmp_path / "emb.csv"
+    y, info = at.embed(x, outfile=str(out), dim=2, batch=5, nbng=6,
+                       params=p, with_quality=True, quality_fraction=0.4,
+                       quality_nbng=6)
+    # caller's object untouched
+    assert p.nb_grad_batch != 5 or EmbedderParams().nb_grad_batch == 5
+    assert p.asked_dim == EmbedderParams().asked_dim
+    assert p.grad_factor == 3 and p.n_sub == 7
+    fd = np.loadtxt(tmp_path / "first_dist.csv", delimiter=",")
+    m = fd.shape[0]
+    assert m < x.shape[0]          # sampling actually active
+    # each dumped row's coordinates must exist in the embedding; match
+    # rows by coordinates and confirm they are not simply rows 0..m-1
+    coords = fd[:, 1:3]
+    dists = np.linalg.norm(coords[:, None, :] - y[None], axis=-1)
+    matched_rows = dists.argmin(1)
+    assert (dists.min(1) < 1e-4).all()
+    assert not np.array_equal(matched_rows, np.arange(m))
