@@ -121,11 +121,12 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             or embed_cache is not None):
         _ensure_eager_execution()
 
+    from .io.checkpoint import checkpoint_exists
     t0 = time.perf_counter()
     if layer > 0:
-        if graph_cache and os.path.exists(graph_cache):
+        if graph_cache and checkpoint_exists(graph_cache):
             from .io.checkpoint import load_projection
-            proj = load_projection(graph_cache)
+            proj = load_projection(graph_cache, expect_n=x.shape[0])
             logger.info("loaded projection checkpoint from %s",
                         graph_cache)
         else:
@@ -141,9 +142,9 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     else:
         # graph checkpoint/resume: the TPU analogue of the reference's
         # HnswIo dump/reload (examples/higgs.rs:397-474)
-        if graph_cache and os.path.exists(graph_cache):
+        if graph_cache and checkpoint_exists(graph_cache):
             from .io.checkpoint import load_kgraph
-            g = load_kgraph(graph_cache)
+            g = load_kgraph(graph_cache, expect_n=x.shape[0])
             logger.info("loaded kNN graph checkpoint from %s", graph_cache)
         else:
             g = build_kgraph(x, nbng, distance=distance, params=knn_params)
@@ -158,7 +159,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     # estimator's second kNN build) runs before the first device->host
     # readback — a readback permanently degrades all later dispatches
     # on remote-dispatch runtimes (one sync point at the end).
-    if embed_cache and os.path.exists(embed_cache):
+    if embed_cache and checkpoint_exists(embed_cache):
         # resume: hour-scale optimizes whose quality phase died (e.g.
         # a transient device fault) restart straight into quality
         import jax.numpy as jnp
@@ -192,7 +193,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     if return_graph:
         info["kgraph"] = emb.get_kgraph()
     if graph_cache:
-        if not os.path.exists(graph_cache):
+        if not checkpoint_exists(graph_cache):
             # written after the final sync (not right after the build):
             # the np conversion inside is a device->host readback, and
             # an early readback would degrade the whole optimize phase

@@ -103,7 +103,10 @@ def main_embed(argv=None) -> int:
                        intrinsic_dim_2nn, Hubness)
         x = get_toembed_from_csv(args.csv, delimiter=args.delim,
                                  subsample=args.sampling)
-        gs = build_kgraph(x, max(args.nbng, 20), distance=args.distance)
+        # forward the CLI-tuned kNN knobs (nlist/nprobe/rho) into the
+        # stats graph build too
+        gs = build_kgraph(x, max(args.nbng, 20), distance=args.distance,
+                          params=kp)
         mean, sigma = intrinsic_dim_levina_bickel(gs)
         hub = Hubness.new(gs)
         out["intrinsic_dim"] = [mean, sigma]

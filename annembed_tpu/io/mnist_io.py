@@ -69,6 +69,9 @@ def load_mnist_full(dirpath) -> Tuple[np.ndarray, np.ndarray]:
     the reference benchmark drivers (examples/mnist_digits.rs)."""
     xi, yi = load_mnist_train_data(dirpath)
     xt, yt = load_mnist_test_data(dirpath)
-    x = np.concatenate([xi, xt]).reshape(-1, 28 * 28).astype(np.float32)
+    xall = np.concatenate([xi, xt])
+    # flatten per image using the dimensions read from the IDX header
+    # (not a hard-coded 784: non-28x28 IDX files keep row integrity)
+    x = xall.reshape(len(xall), -1).astype(np.float32)
     y = np.concatenate([yi, yt])
     return x, y

@@ -25,11 +25,14 @@ from ..knn.brute import knn_search_brute
 
 def _bson_f64_array(name: str, values: Sequence[float]) -> bytes:
     """BSON array element: type 0x04, keys are decimal index strings,
-    items are doubles (type 0x01)."""
-    items = b""
+    items are doubles (type 0x01).  Built as a list join — the naive
+    ``bytes +=`` accumulation is O(n^2) and takes hours at the ~2M
+    values a knbn=2000 neighbourhood produces."""
+    parts = []
     for i, v in enumerate(values):
-        items += b"\x01" + str(i).encode() + b"\x00" + struct.pack("<d",
-                                                                   float(v))
+        parts.append(b"\x01" + str(i).encode() + b"\x00"
+                     + struct.pack("<d", float(v)))
+    items = b"".join(parts)
     arr_doc = struct.pack("<i", len(items) + 5) + items + b"\x00"
     return b"\x04" + name.encode() + b"\x00" + arr_doc
 
@@ -68,15 +71,21 @@ def extract_neighbourhood(x, center, knbn: int, outbson: str,
                           distance: str = "DistL2") -> int:
     """Lower-triangular distance matrix of the knbn points nearest to
     ``center`` -> BSON (toripserer.rs:45).  Returns number of points."""
+    import jax.numpy as jnp
+    from ..knn.distances import get_panel_fn
+
     x = np.asarray(x, np.float32)
     center = np.asarray(center, np.float32).reshape(1, -1)
     idx, _ = knn_search_brute(center, x, k=min(knbn, x.shape[0]),
                               distance=distance)
     pts = x[np.asarray(idx[0])]
     nb = pts.shape[0]
-    # pairwise distances of the neighbourhood (small: knbn <= ~2000)
-    d = np.sqrt(np.maximum(
-        ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1), 0.0))
+    # pairwise distances of the neighbourhood in the CHOSEN metric
+    # (toripserer.rs:59-69 uses hnsw.get_distance().eval); the panel
+    # form also avoids the (nb, nb, d) broadcast — 12.5 GB at
+    # knbn=2000, d=784
+    pj = jnp.asarray(pts)
+    d = np.asarray(get_panel_fn(distance)(pj, pj))
     tri = []
     for i in range(nb):
         tri.extend(d[i, :i].tolist())
@@ -102,12 +111,21 @@ def extract_projection_to_ripserer(x, knbn: int, fname: str,
 
 
 def to_ripser_sparse_dist(g: KGraph, path: str) -> None:
-    """Symmetrized text triplets "i j dist" (kgraph.rs:354-369)."""
+    """Symmetrized text triplets "i j dist" (kgraph.rs:354-369).
+
+    Both directions of every edge are written unconditionally — mutual
+    neighbours therefore appear twice per direction, exactly like the
+    reference dump (kgraph.rs:361-364); Ripserer tolerates the
+    duplicates.  Rows are emitted via one vectorized savetxt instead of
+    a 2nk-iteration Python loop."""
     idx = np.asarray(g.indices)
     dist = np.asarray(g.dists)
     n, k = idx.shape
+    ii = np.repeat(np.arange(n, dtype=np.int64), k)
+    jj = idx.reshape(-1).astype(np.int64)
+    dd = dist.reshape(-1).astype(np.float64)
+    rows = np.empty((2 * n * k, 3), np.float64)
+    rows[0::2] = np.stack([ii, jj, dd], axis=1)   # i j d
+    rows[1::2] = np.stack([jj, ii, dd], axis=1)   # j i d (reference order)
     with open(path, "w") as f:
-        for i in range(n):
-            for j in range(k):
-                f.write(f"{i} {idx[i, j]} {dist[i, j]:.5E}\n")
-                f.write(f"{idx[i, j]} {i} {dist[i, j]:.5E}\n")
+        np.savetxt(f, rows, fmt="%d %d %.5E")
