@@ -196,11 +196,15 @@ class CarreDuChamp:
         weighted cross-covariance of f and g, normalized like
         get_cdc_at_point (cdcop.rs:243-301: CdC applied to function
         images instead of raw coordinates)."""
-        p = self.kernel_rows(jnp.array([point_rank]))[0]    # (n,)
-        fx = jnp.stack([jnp.asarray(f(np.asarray(row)), jnp.float32)
-                        for row in np.asarray(self.data)])
-        gx = jnp.stack([jnp.asarray(g(np.asarray(row)), jnp.float32)
-                        for row in np.asarray(self.data)])
+        # evaluate f/g ONLY on the point's kernel-row neighbourhood
+        # (<= _max_row members; padded entries carry weight 0, so their
+        # images cancel) — a dense n-point sweep made this minutes per
+        # query at large n for a row with a few dozen nonzeros
+        p, cols = self._kernel_entries(jnp.array([point_rank]))
+        p = p[0]                                            # (L,)
+        nbrs = np.asarray(self.data[cols[0]])               # (L, d)
+        fx = jnp.stack([jnp.asarray(f(row), jnp.float32) for row in nbrs])
+        gx = jnp.stack([jnp.asarray(g(row), jnp.float32) for row in nbrs])
         f_mean = p @ fx
         g_mean = p @ gx
         cross = jnp.einsum("n,ni,nj->ij", p, fx - f_mean, gx - g_mean)

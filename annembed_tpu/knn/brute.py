@@ -52,6 +52,35 @@ def _exact_l2_rerank(q, x, cand_idx, k, self_ids=None, valid_n=None):
     return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
 
 
+def _block_topk(q, corpus, x_sq, k: int, kk: int, panel_fn, dtype,
+                rerank: bool, topk_recall: float,
+                self_ids=None, valid_n=None):
+    """One query-block panel + candidate top-k + optional exact rerank —
+    the shared body of the single-chip graph build (`_knn_impl`), the
+    corpus search (`_search_impl`) and the sharded brute build
+    (parallel/sharded_knn.py), so the three cannot drift."""
+    dist = panel_fn(q, corpus, x_sq, dtype=dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    if self_ids is not None:
+        # mask the self column per row
+        dist = jnp.where(col == self_ids[:, None], jnp.inf, dist)
+    if valid_n is not None:
+        dist = jnp.where(col < valid_n, dist, jnp.inf)
+    if topk_recall > 0.0:
+        # TPU-native partial-reduction top-k (ApproxTopK): much faster
+        # than the sort-based exact lowering; the k+extra oversampling
+        # + exact rerank keeps the final top-k recall well above the
+        # per-candidate recall_target
+        neg_d, idx = jax.lax.approx_max_k(
+            -dist, kk, recall_target=topk_recall, aggregate_to_topk=True)
+    else:
+        neg_d, idx = jax.lax.top_k(-dist, kk)
+    if rerank:
+        return _exact_l2_rerank(q, corpus, idx, k, self_ids=self_ids,
+                                valid_n=valid_n)
+    return idx.astype(jnp.int32), -neg_d
+
+
 @functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
                                              "dtype_name",
                                              "topk_recall"))
@@ -73,23 +102,8 @@ def _knn_impl(x: jnp.ndarray, k: int, distance: str, block_rows: int,
 
     def one_block(args):
         q, ids = args
-        dist = panel_fn(q, x, x_sq, dtype=dtype)  # (b, n)
-        # mask the self column per row
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        dist = jnp.where(col == ids[:, None], jnp.inf, dist)
-        if topk_recall > 0.0:
-            # TPU-native partial-reduction top-k (ApproxTopK): much
-            # faster than the sort-based exact lowering; the k+extra
-            # oversampling + exact rerank keeps the final top-k recall
-            # well above the per-candidate recall_target
-            neg_d, idx = jax.lax.approx_max_k(
-                -dist, kk, recall_target=topk_recall,
-                aggregate_to_topk=True)
-        else:
-            neg_d, idx = jax.lax.top_k(-dist, kk)
-        if rerank:
-            return _exact_l2_rerank(q, x, idx, k, self_ids=ids)
-        return idx.astype(jnp.int32), -neg_d
+        return _block_topk(q, x, x_sq, k, kk, panel_fn, dtype, rerank,
+                           topk_recall, self_ids=ids)
 
     idx, dists = jax.lax.map(one_block, (q_blocks, id_blocks))
     idx = idx.reshape(n_blocks * block_rows, -1)[:n, :k]
@@ -137,13 +151,8 @@ def _search_impl(queries, corpus, valid_n, k, distance, block_rows,
     kk = min(k + _RERANK_EXTRA, n) if rerank else k
 
     def one_block(q):
-        dist = panel_fn(q, corpus, x_sq, dtype=dtype)
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        dist = jnp.where(col < valid_n, dist, jnp.inf)
-        neg_d, idx = jax.lax.top_k(-dist, kk)
-        if rerank:
-            return _exact_l2_rerank(q, corpus, idx, k, valid_n=valid_n)
-        return idx.astype(jnp.int32), -neg_d
+        return _block_topk(q, corpus, x_sq, k, kk, panel_fn, dtype,
+                           rerank, 0.0, valid_n=valid_n)
 
     idx, dists = jax.lax.map(one_block, q_blocks)
     idx = idx.reshape(n_blocks * block_rows, -1)[:nq, :k]

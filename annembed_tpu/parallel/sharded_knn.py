@@ -52,16 +52,20 @@ def _pad_rows(a, rows, fill=0):
 
 def sharded_knn_graph_brute(x, k: int, mesh: Mesh, distance: str = "DistL2",
                             block_rows: int = 1024,
-                            dtype: str = "float32"):
+                            dtype: str = "float32",
+                            topk_recall: float = 0.0):
     """Row-sharded exact kNN graph: every device computes the panels of
-    its query rows against the replicated corpus.  Same math as
-    knn/brute.py::_knn_impl (self mask, top-(k+extra), exact f32 L2
-    rerank), so the result equals the single-chip graph."""
-    from ..knn.brute import _exact_l2_rerank, _RERANK_EXTRA
+    its query rows against the replicated corpus.  The per-block body
+    IS knn/brute.py::_block_topk (self mask, top-(k+extra), optional
+    ApproxTopK, exact f32 L2 rerank), so the result equals the
+    single-chip graph by construction."""
+    from ..knn.brute import _block_topk, _RERANK_EXTRA
     from ..knn.distances import get_panel_fn, corpus_sqnorm
 
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
+    if k >= n:
+        raise ValueError(f"k={k} must be < n={n}")
     ndev = mesh.devices.size
     block_rows = min(block_rows, max(8, n))
     shard_rows = -(-n // (ndev * block_rows)) * block_rows
@@ -84,14 +88,9 @@ def sharded_knn_graph_brute(x, k: int, mesh: Mesh, distance: str = "DistL2",
 
         def one(args):
             q, rid = args
-            dist = panel_fn(q, corpus[:n], x_sq, dtype=pdtype)
-            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-            dist = jnp.where(col == rid[:, None], jnp.inf, dist)
-            neg_d, idx = jax.lax.top_k(-dist, kk)
-            if rerank:
-                return _exact_l2_rerank(q, corpus[:n], idx, k,
-                                        self_ids=rid)
-            return idx.astype(jnp.int32), -neg_d
+            return _block_topk(q, corpus[:n], x_sq, k, kk, panel_fn,
+                               pdtype, rerank, topk_recall,
+                               self_ids=rid)
 
         idx, dd = jax.lax.map(one, (qb, ids))
         return idx.reshape(rows, -1), dd.reshape(rows, -1)
@@ -293,7 +292,8 @@ def sharded_build_kgraph(x, knbn: int, mesh: Mesh,
     if n <= params.brute_force_limit:
         idx, dist = sharded_knn_graph_brute(
             x, knbn, mesh, distance=distance,
-            block_rows=params.block_rows, dtype=params.dtype)
+            block_rows=params.block_rows, dtype=params.dtype,
+            topk_recall=params.topk_recall)
     else:
         kb = knbn
         if params.refine_rounds > 0 and params.build_k_factor > 1.0:

@@ -22,11 +22,24 @@ logger = logging.getLogger(__name__)
 
 def _numpy_alias(weights: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     n = len(weights)
-    scaled = weights.astype(np.float64) * (n / weights.sum())
+    total = float(weights.sum())
+    if not np.isfinite(total) or total <= 0.0 or (weights < 0).any():
+        raise ValueError(
+            f"alias table needs finite non-negative weights with a "
+            f"positive sum (sum={total})")
+    scaled = weights.astype(np.float64) * (n / total)
     prob = np.ones(n, np.float32)
     alias = np.arange(n, dtype=np.int32)
-    small = [i for i in range(n) if scaled[i] < 1.0]
-    large = [i for i in range(n) if scaled[i] >= 1.0]
+    # vectorized partition; the pairing loop itself is inherently
+    # sequential (Vose) — production edge counts go through the native
+    # builder, this fallback is for modest n / missing .so
+    small = list(np.nonzero(scaled < 1.0)[0])
+    large = list(np.nonzero(scaled >= 1.0)[0])
+    if n > 2_000_000 and small and large:
+        logger.warning(
+            "numpy alias fallback at n=%d is a Python-loop build "
+            "(minutes+); build native/libannembed_native.so for the "
+            "O(n) native path", n)
     while small and large:
         s = small.pop()
         l = large.pop()
@@ -57,6 +70,10 @@ def build_alias_table(weights) -> Tuple[jnp.ndarray, jnp.ndarray]:
             alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if rc == 0:
             return jnp.asarray(prob), jnp.asarray(alias)
+        if rc == -3:
+            # degenerate weights (zero/NaN sum): the numpy path would
+            # silently build a uniform table — fail loudly instead
+            raise ValueError("alias table: weight sum is zero or NaN")
         logger.warning("native alias build failed rc=%d; numpy fallback", rc)
     prob, alias = _numpy_alias(w)
     return jnp.asarray(prob), jnp.asarray(alias)

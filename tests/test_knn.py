@@ -175,3 +175,14 @@ def test_jeffreys_sparse_clamp(rng):
     expect = float(((p - q) * np.log(np.maximum(p, 1e-30) /
                                      np.maximum(q, 1e-30))).sum())
     assert abs(got - expect) / abs(expect) < 1e-4
+
+
+def test_recall_at_k_duplicates_count_once():
+    """IVF's under-filled fallback duplicates the last valid neighbour;
+    duplicated ids must count as one hit, not k."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.api import recall_at_k
+    exact = jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32))
+    approx = jnp.asarray(np.array([[1, 1, 1], [4, 5, 6]], np.int32))
+    # row 0: only id 1 recovered (1/3); row 1: all (3/3) -> 4/6
+    assert abs(recall_at_k(approx, exact) - 4 / 6) < 1e-9
