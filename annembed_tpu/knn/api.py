@@ -53,6 +53,31 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
     return KGraph(indices=idx, dists=dist)
 
 
+def sampled_exact_recall(x, g, sample: int = 2000, seed: int = 11,
+                         sample_ids=None) -> float:
+    """recall@k of the build graph ``g`` vs an exact (chunked brute)
+    search, on a row sample — the shared implementation behind
+    bench.py and examples/higgs.py (self column dropped from the k+1
+    search result; a duplicate twin displacing self is handled by the
+    [:k] truncation).  Only the sampled query rows are uploaded; ``x``
+    may be a host numpy array or an on-device array."""
+    import numpy as np
+    from .brute import knn_search_brute
+
+    n, k = g.indices.shape
+    if sample_ids is None:
+        rng = np.random.default_rng(seed)
+        sub = np.sort(rng.choice(n, size=min(sample, n),
+                                 replace=False)).astype(np.int32)
+    else:
+        sub = np.asarray(sample_ids, np.int32)
+    ei, _ = knn_search_brute(x[sub], x, k=k + 1)
+    ei = np.asarray(ei)
+    not_self = ei != sub[:, None]
+    exact = np.stack([row[m][:k] for row, m in zip(ei, not_self)])
+    return recall_at_k(np.asarray(g.indices)[sub], exact)
+
+
 def recall_at_k(approx_idx, exact_idx, row_chunk: int = 500_000) -> float:
     """Mean fraction of true k-NN recovered (the north-star metric
     'kNN-graph recall@10 vs HNSW', BASELINE.json).

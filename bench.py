@@ -65,7 +65,10 @@ HARD_DEADLINE_S = DEADLINE_S + float(
     os.environ.get("ANNEMBED_BENCH_GRACE_S", "480"))
 
 T_START = time.monotonic()
-_STATE: dict = {"fallback_printed": False, "wall": None, "cold_wall": None,
+#: printed_level: 0 = nothing, 1 = error record, 2 = cold-only record,
+#: 3 = honest headline — _print_fallback may UPGRADE (reprint a better
+#: record; the driver keeps the tail), never downgrade or repeat
+_STATE: dict = {"printed_level": 0, "wall": None, "cold_wall": None,
                 "done": False, "channel_s": None}
 _LOCK = threading.Lock()
 _CHANNEL_READY = threading.Event()
@@ -92,20 +95,28 @@ def _headline(wall: float, extra: dict | None = None) -> str:
     return json.dumps(rec)
 
 
-def _print_fallback() -> None:
-    """Emit the best record available right now (once)."""
+def _print_fallback(reason: str = "deadline before first measurement") \
+        -> None:
+    """Emit the best record available right now.  A better record than
+    the one already printed IS re-emitted (e.g. the soft deadline
+    printed an error record while the cold pass was still running and
+    the cold number became available later) — the driver parses the
+    tail, so the upgrade wins."""
     with _LOCK:
-        if _STATE["fallback_printed"] or _STATE["wall"] is not None:
+        if _STATE["wall"] is not None:
+            return                      # honest headline already out
+        if _STATE["cold_wall"] is not None:
+            # honest but compile-inclusive (and possibly lazily-acked)
+            # cold-pass wall; labeled so the judge can tell
+            level = 2
+            rec = _headline(_STATE["cold_wall"], {"cold_only": True})
+        else:
+            level = 1
+            rec = _headline(-1.0, {"error": reason})
+        if level <= _STATE["printed_level"]:
             return
-        _STATE["fallback_printed"] = True
-    if _STATE["cold_wall"] is not None:
-        # honest but compile-inclusive (and possibly lazily-acked)
-        # cold-pass wall; labeled so the judge can tell
-        print(_headline(_STATE["cold_wall"], {"cold_only": True}),
-              flush=True)
-    else:
-        print(_headline(-1.0, {"error": "deadline before first "
-                                        "measurement"}), flush=True)
+        _STATE["printed_level"] = level
+    print(rec, flush=True)
 
 
 def _watchdog() -> None:
@@ -122,6 +133,7 @@ def _watchdog() -> None:
         hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
         if hard_left <= 0:
             _note("WATCHDOG: hard deadline — exiting")
+            _print_fallback()   # upgrade if the cold pass finished since
             os._exit(0)
         time.sleep(min(hard_left, 2.0))
 
@@ -215,6 +227,21 @@ def run_once(x, sync_element=False):
 
 
 def main():
+    try:
+        _main_inner()
+    except BaseException as exc:        # noqa: BLE001 - protocol guard
+        # an exception anywhere (transient device fault, HBM OOM) must
+        # still leave a parseable record and rc=0 — the round-2 failure
+        # mode was precisely an unparseable timeout
+        _note(f"FATAL: {type(exc).__name__}: {exc}")
+        _print_fallback(reason=f"{type(exc).__name__}: {exc}"[:200])
+        _STATE["done"] = True
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+
+def _main_inner():
     threading.Thread(target=_watchdog, daemon=True).start()
     _note(f"deadline {DEADLINE_S:.0f}s; initializing jax")
     import jax
@@ -269,16 +296,10 @@ def main():
               flush=True)
         _STATE["done"] = True
         os._exit(0)
-    from annembed_tpu.knn.brute import knn_search_brute
-    from annembed_tpu.knn.api import recall_at_k
+    from annembed_tpu.knn.api import sampled_exact_recall
     from annembed_tpu.estimators.quality import quality_estimate
     sub = np.linspace(0, N - 1, 2000).astype(np.int32)
-    ei, _ = knn_search_brute(x[sub], x, k=KNBN + 1)
-    # drop the self column of the search result
-    not_self = np.asarray(ei) != sub[:, None]
-    exact = np.stack([row[m][:KNBN] for row, m in
-                      zip(np.asarray(ei), not_self)])
-    recall = recall_at_k(np.asarray(g.indices)[sub], exact)
+    recall = sampled_exact_recall(x, g, sample_ids=sub)
     q = quality_estimate(g, y, nbng=50)
     print(_headline(wall, {
         "recall": round(recall, 4),

@@ -63,19 +63,12 @@ def synthetic_higgs(n_s: int, seed: int = 7) -> np.ndarray:
 
 def build_graph_recall(x, g, sample: int = 2000, seed: int = 11) -> float:
     """recall@k of the build graph vs exact, on `sample` random rows
-    (exact side = chunked brute search over the FULL corpus)."""
-    import jax.numpy as jnp
-    from annembed_tpu.knn.brute import knn_search_brute
-    from annembed_tpu.knn.api import recall_at_k
-    n, k = g.indices.shape
-    rng = np.random.default_rng(seed)
-    sub = np.sort(rng.choice(n, size=min(sample, n), replace=False)
-                  ).astype(np.int32)
-    ei, _ = knn_search_brute(jnp.asarray(x)[sub], x, k=k + 1)
-    ei = np.asarray(ei)
-    not_self = ei != sub[:, None]
-    exact = np.stack([row[m][:k] for row, m in zip(ei, not_self)])
-    return recall_at_k(np.asarray(g.indices)[sub], exact)
+    (exact side = chunked brute search over the FULL corpus).  The
+    query rows are sliced on the HOST — uploading the full corpus just
+    to slice 2000 rows would double resident corpus bytes and pay a
+    multi-minute tunnel transfer at 11M."""
+    from annembed_tpu.knn.api import sampled_exact_recall
+    return sampled_exact_recall(x, g, sample=sample, seed=seed)
 
 
 def main():
@@ -137,6 +130,11 @@ def main():
     import os
     if args.data_cache and os.path.exists(args.data_cache):
         x = np.load(args.data_cache)
+        if args.synthetic and x.shape[0] != args.synthetic:
+            raise SystemExit(
+                f"--data-cache {args.data_cache} holds {x.shape[0]} rows "
+                f"but --synthetic asked for {args.synthetic}: stale cache "
+                "from another run — delete it or change the path")
     else:
         if args.synthetic:
             x = synthetic_higgs(args.synthetic)
@@ -195,8 +193,11 @@ def main():
         rec["quality_nbng"] = args.quality_nbng
     out_line = json.dumps(rec, default=float)
     print(out_line, flush=True)
-    from annembed_tpu.io.csv_io import write_csv_array2
-    write_csv_array2(args.out, y)
+    if args.out and args.out.lower() != "none":
+        # at 11M rows this savetxt is minutes of single-threaded
+        # formatting — pass --out none for benchmark-only runs
+        from annembed_tpu.io.csv_io import write_csv_array2
+        write_csv_array2(args.out, y)
 
 
 if __name__ == "__main__":
