@@ -147,12 +147,20 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         emb_graph = build_kgraph(y, nbng, distance="DistL2",
                                  params=knn_params)
         radius = emb_graph.dists[:, -1]                          # (n,)
+        # drop the graph reference right away: its (n, nbng) indices +
+        # dists are ~4.4 GB at 11M x 50 and only the radius column is
+        # needed — holding them through the quantile sort below is what
+        # pushed the full-fraction path over the 11M HBM budget
+        del emb_graph
 
     safe_r = jnp.maximum(radius, 1e-30)[:, None]
     matched = lengths <= radius[:, None]                    # (m, k)
     nodes_matched = matched.sum(axis=1)                     # (m,)
+    del matched
 
+    first_dist = lengths.min(axis=1)
     ratios = lengths / safe_r                               # (m, k)
+    del lengths           # free before the quantile sort workspace
     ratio_flat = ratios.reshape(-1)
     qs = jnp.array(_QS)
 
@@ -170,7 +178,6 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         jnp.quantile(radius, qs),
     ])
     ratio_by_node = ratios.mean(axis=1)
-    first_dist = lengths.min(axis=1)
     vals_i, vals = jax.device_get((counts, scalars))
 
     nb_without_sample = int(vals_i[0])

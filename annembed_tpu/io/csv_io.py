@@ -61,21 +61,52 @@ def _load_native() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_M64 = (1 << 64) - 1
+
+
+def _keep_row(seed: int, offset: int, keep_prob: float) -> bool:
+    """Bit-for-bit mirror of native/csv_loader.cpp::keep_row: the
+    subsample decision hashes (seed, line byte offset), so the selected
+    rows do not depend on thread count, chunking, or which parser ran."""
+    z = (offset + 0x9E3779B97F4A7C15 * (seed + 1)) & _M64
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & _M64
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    return (z >> 11) * (1.0 / 9007199254740992.0) < keep_prob
+
+
 def _numpy_parse(path: str, delimiter: str, subsample: float,
                  seed: int) -> np.ndarray:
     rows = []
-    rng = np.random.default_rng(seed)
-    with open(path) as f:
-        for line in f:
-            s = line.strip()
-            if not s or s.startswith("#") or s.startswith("%"):
-                continue
-            if subsample < 1.0 and rng.random() >= subsample:
-                continue
-            rows.append(np.fromstring(s, dtype=np.float32, sep=delimiter)
-                        if delimiter != " " else
-                        np.array(s.split(), dtype=np.float32))
-    return np.stack(rows) if rows else np.zeros((0, 0), np.float32)
+    with open(path, "rb") as f:
+        raw = f.read()
+    pos, total = 0, len(raw)
+    while pos < total:
+        nl = raw.find(b"\n", pos)
+        end = nl if nl >= 0 else total
+        line_off = pos
+        s = raw[pos:end].decode("utf-8", "replace").strip()
+        pos = end + 1 if nl >= 0 else total
+        if not s or s.startswith("#") or s.startswith("%"):
+            continue
+        if subsample < 1.0 and not _keep_row(seed, line_off, subsample):
+            continue
+        parts = s.split() if delimiter == " " \
+            else [t.strip() for t in s.split(delimiter)]
+        try:
+            rows.append(np.array([float(t) for t in parts], np.float32))
+        except ValueError as exc:
+            raise ValueError(
+                f"{path}: malformed CSV line at byte {line_off}: "
+                f"{s[:80]!r}") from exc
+    if not rows:
+        return np.zeros((0, 0), np.float32)
+    widths = {r.shape[0] for r in rows}
+    if len(widths) != 1:
+        raise ValueError(f"{path}: ragged CSV (row widths {sorted(widths)})")
+    return np.stack(rows)
 
 
 def get_toembed_from_csv(path: str | os.PathLike, delimiter: str = ",",

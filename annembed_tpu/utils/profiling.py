@@ -25,10 +25,12 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None):
-        """Time a phase; pass a jax array (or pytree leaf) as ``sync``
-        holder via the returned list to block on device completion."""
+        """Time a phase.  Arrays to block on can be passed either via
+        ``sync=`` directly or by appending to the yielded list — both
+        are honored (the dead ``sync=`` parameter previously recorded
+        dispatch-only timings for callers who used it)."""
         t0 = time.perf_counter()
-        out = []
+        out = [] if sync is None else [sync]
         try:
             yield out
         finally:

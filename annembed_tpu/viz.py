@@ -26,13 +26,23 @@ def _load_labeled_csv(path):
 def plot_embedding(coords, labels=None, out: Optional[str] = None,
                    point_size: float = 1.0, title: str = "embedding"):
     """Scatter plot of a 2D embedding colored by label
-    (visu.jl plotCsvLabels)."""
+    (visu.jl plotCsvLabels).
+
+    ``coords`` may be an array or a CSV path.  The CLI's embedded.csv
+    has NO label column (write_csv_array2) — all columns are read as
+    coordinates there; pass a label-prefixed file (or a labels= array)
+    to color points.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     if isinstance(coords, (str, os.PathLike)):
-        labels, coords = _load_labeled_csv(coords)
+        raw = np.loadtxt(coords, delimiter=",")
+        if labels is None:
+            coords = raw          # embedded.csv: unlabeled coordinates
+        else:
+            coords = raw if raw.shape[1] == 2 else raw[:, 1:]
     coords = np.asarray(coords)
     fig, ax = plt.subplots(figsize=(8, 8))
     if labels is not None:
@@ -50,16 +60,28 @@ def plot_embedding(coords, labels=None, out: Optional[str] = None,
     return fig
 
 
-def plot_continuity(coords, ratio, out: Optional[str] = None,
+def plot_continuity(coords, ratio=None, out: Optional[str] = None,
                     point_size: float = 1.0):
     """Embedding colored by the per-node continuity ratio
-    (visu.jl plotCsvContinuity; low = well-preserved neighborhood)."""
+    (visu.jl plotCsvContinuity; low = well-preserved neighborhood).
+
+    Accepts either (coords_array, ratio_array) or a single
+    continuity_ratio.csv path (ratio label column + coordinates, as the
+    CLI writes it).  An explicitly passed ``ratio`` always wins; a path
+    passed as ``ratio`` is loaded from its label column."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if isinstance(ratio, (str, os.PathLike)):
+        ratio, _ = _load_labeled_csv(ratio)
     if isinstance(coords, (str, os.PathLike)):
-        ratio, coords = _load_labeled_csv(coords)
+        file_ratio, coords = _load_labeled_csv(coords)
+        if ratio is None:
+            ratio = file_ratio
+    if ratio is None:
+        raise ValueError("plot_continuity needs a ratio (array, path, or "
+                         "a labeled continuity_ratio.csv as coords)")
     coords = np.asarray(coords)
     ratio = np.asarray(ratio)
     fig, ax = plt.subplots(figsize=(8, 8))

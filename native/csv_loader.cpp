@@ -6,26 +6,42 @@
 // row-major float32 buffer.  Supports:
 //   * leading comment/header lines starting with '#' or '%'
 //     (io.rs:70 get_header_size)
-//   * Bernoulli row subsampling (io.rs:197-199)
-//   * arbitrary single-char delimiter
+//   * Bernoulli row subsampling (io.rs:197-199) — the keep/drop
+//     decision hashes (seed, line byte offset), so the SAME rows are
+//     selected regardless of thread count, chunk boundaries, or
+//     whether the numpy fallback parses the file (csv_io.py mirrors
+//     the hash)
+//   * arbitrary single-char delimiter; runs of blanks collapse only
+//     when the delimiter itself is a blank
 //
-// Parallelism: the file is mmap-read into memory, split at line
-// boundaries into one chunk per thread, each thread parses with
-// strtof into its own buffer, then chunks are concatenated.
+// STRICT parsing: every field must be a complete finite-syntax float
+// (std::from_chars — locale-independent, unlike strtof).  Empty
+// fields, text tokens, or ragged rows abort the parse (handle 0) so
+// the Python side fails loudly instead of silently shifting columns.
+//
+// Parallelism: the file is mmap'd (fread fallback), split at line
+// boundaries into one chunk per thread, each thread parses into its
+// own buffer, then chunks are concatenated (each chunk's buffer is
+// released right after its copy to bound peak memory).
 //
 // C ABI (used from Python via ctypes, see annembed_tpu/io/csv_io.py):
 //   annembed_csv_parse(...) -> handle (0 on failure)
 //   annembed_csv_data/rows/cols(handle)
 //   annembed_csv_free(handle)
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
-#include <random>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -38,6 +54,7 @@ struct ParsedCsv {
 struct Chunk {
   const char* begin;
   const char* end;
+  const char* base;  // file start: line offsets are measured from here
   std::vector<float> out;
   int64_t rows = 0;
   int64_t cols = -1;  // -1: not yet seen a row
@@ -49,9 +66,73 @@ bool is_header_line(const char* p, const char* end) {
   return p < end && (*p == '#' || *p == '%');
 }
 
+// splitmix64-style keep/drop hash over (seed, byte offset of the line).
+// Mirrored bit-for-bit by annembed_tpu/io/csv_io.py::_keep_row so the
+// native and numpy paths subsample identical rows.
+inline bool keep_row(uint64_t seed, uint64_t offset, double keep_prob) {
+  uint64_t z = offset + 0x9E3779B97F4A7C15ULL * (seed + 1ULL);
+  z ^= z >> 30;
+  z *= 0xBF58476D1CE4E5B9ULL;
+  z ^= z >> 27;
+  z *= 0x94D049BB133111EBULL;
+  z ^= z >> 31;
+  return static_cast<double>(z >> 11) * (1.0 / 9007199254740992.0)
+      < keep_prob;
+}
+
+// Parse one complete field [b, e) (already trimmed); strict: the whole
+// field must be consumed.  from_chars rejects a leading '+', which
+// strtof accepted — allow it explicitly.
+inline bool parse_field(const char* b, const char* e, float* out) {
+  if (b < e && *b == '+') b++;
+  if (b >= e) return false;
+  auto res = std::from_chars(b, e, *out);
+  return res.ec == std::errc() && res.ptr == e;
+}
+
+// Strict line tokenizer: exactly one value per delimiter-separated
+// field (runs collapse only for blank delimiters).  Returns false on
+// any malformed/empty field.
+bool parse_line(const char* p, const char* line_end, char delim,
+                std::vector<float>* row) {
+  const bool ws_delim = (delim == ' ' || delim == '\t');
+  const char* cur = p;
+  if (ws_delim) {
+    while (cur < line_end &&
+           (*cur == ' ' || *cur == '\t' || *cur == '\r'))
+      cur++;
+    while (cur < line_end) {
+      const char* fe = cur;
+      while (fe < line_end && *fe != ' ' && *fe != '\t' && *fe != '\r')
+        fe++;
+      float v;
+      if (!parse_field(cur, fe, &v)) return false;
+      row->push_back(v);
+      cur = fe;
+      while (cur < line_end &&
+             (*cur == ' ' || *cur == '\t' || *cur == '\r'))
+        cur++;
+    }
+    return !row->empty();
+  }
+  for (;;) {
+    const char* fe = static_cast<const char*>(
+        memchr(cur, delim, static_cast<size_t>(line_end - cur)));
+    const char* fend = fe ? fe : line_end;
+    // trim surrounding blanks of the field
+    const char* b = cur;
+    const char* e = fend;
+    while (b < e && (*b == ' ' || *b == '\t')) b++;
+    while (e > b && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) e--;
+    float v;
+    if (!parse_field(b, e, &v)) return false;  // empty field also fails
+    row->push_back(v);
+    if (!fe) return true;
+    cur = fe + 1;
+  }
+}
+
 void parse_chunk(Chunk* ch, char delim, double keep_prob, uint64_t seed) {
-  std::mt19937_64 rng(seed);
-  std::uniform_real_distribution<double> unif(0.0, 1.0);
   const char* p = ch->begin;
   const char* end = ch->end;
   std::vector<float> row;
@@ -59,42 +140,70 @@ void parse_chunk(Chunk* ch, char delim, double keep_prob, uint64_t seed) {
     const char* nl = static_cast<const char*>(
         memchr(p, '\n', static_cast<size_t>(end - p)));
     const char* line_end = nl ? nl : end;
-    // skip empty lines
+    // skip blank lines
     const char* q = p;
     while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) q++;
     if (q < line_end) {
-      if (keep_prob >= 1.0 || unif(rng) < keep_prob) {
+      const uint64_t off = static_cast<uint64_t>(p - ch->base);
+      if (keep_prob >= 1.0 || keep_row(seed, off, keep_prob)) {
         row.clear();
-        const char* cur = p;
-        while (cur < line_end) {
-          char* next = nullptr;
-          float v = strtof(cur, &next);
-          if (next == cur) {
-            // not a number (e.g. stray delimiter); advance one char
-            cur++;
-            continue;
-          }
-          row.push_back(v);
-          cur = next;
-          while (cur < line_end && (*cur == delim || *cur == ' ' ||
-                                    *cur == '\t' || *cur == '\r'))
-            cur++;
+        if (!parse_line(p, line_end, delim, &row) || row.empty()) {
+          ch->bad = true;
+          return;
         }
-        if (!row.empty()) {
-          if (ch->cols < 0) ch->cols = static_cast<int64_t>(row.size());
-          if (static_cast<int64_t>(row.size()) != ch->cols) {
-            ch->bad = true;
-            return;
-          }
-          ch->out.insert(ch->out.end(), row.begin(), row.end());
-          ch->rows++;
+        if (ch->cols < 0) ch->cols = static_cast<int64_t>(row.size());
+        if (static_cast<int64_t>(row.size()) != ch->cols) {
+          ch->bad = true;
+          return;
         }
+        ch->out.insert(ch->out.end(), row.begin(), row.end());
+        ch->rows++;
       }
     }
     if (!nl) break;
     p = nl + 1;
   }
 }
+
+struct FileView {
+  const char* data = nullptr;
+  size_t size = 0;
+  void* map = nullptr;
+  std::string buf;  // fread fallback
+
+  bool open(const char* path) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+      close(fd);
+      return false;
+    }
+    size = static_cast<size_t>(st.st_size);
+    map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (map != MAP_FAILED) {
+      close(fd);
+      data = static_cast<const char*>(map);
+      return true;
+    }
+    map = nullptr;
+    buf.resize(size);
+    size_t got = 0;
+    while (got < size) {
+      ssize_t rd = ::read(fd, buf.data() + got, size - got);
+      if (rd <= 0) break;
+      got += static_cast<size_t>(rd);
+    }
+    close(fd);
+    if (got != size) return false;
+    data = buf.data();
+    return true;
+  }
+
+  ~FileView() {
+    if (map) munmap(map, size);
+  }
+};
 
 }  // namespace
 
@@ -103,23 +212,11 @@ extern "C" {
 // Returns an opaque handle (heap pointer) or 0 on failure.
 void* annembed_csv_parse(const char* path, char delim, double keep_prob,
                          uint64_t seed, int32_t n_threads) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
-  fseek(f, 0, SEEK_END);
-  long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  if (size <= 0) {
-    fclose(f);
-    return nullptr;
-  }
-  std::string buf;
-  buf.resize(static_cast<size_t>(size));
-  size_t rd = fread(buf.data(), 1, static_cast<size_t>(size), f);
-  fclose(f);
-  if (rd != static_cast<size_t>(size)) return nullptr;
-
-  const char* begin = buf.data();
-  const char* end = begin + buf.size();
+  FileView file;
+  if (!file.open(path)) return nullptr;
+  const char* base = file.data;
+  const char* begin = base;
+  const char* end = base + file.size;
 
   // skip leading '#'/'%' header lines
   while (begin < end) {
@@ -147,30 +244,40 @@ void* annembed_csv_parse(const char* path, char delim, double keep_prob,
     if (tentative < end) tentative++;
     chunks[static_cast<size_t>(t)].begin = cur;
     chunks[static_cast<size_t>(t)].end = tentative;
+    chunks[static_cast<size_t>(t)].base = base;
     cur = tentative;
   }
 
   std::vector<std::thread> threads;
   for (size_t t = 0; t < chunks.size(); ++t) {
-    threads.emplace_back(parse_chunk, &chunks[t], delim, keep_prob,
-                         seed + 0x9e3779b97f4a7c15ULL * (t + 1));
+    threads.emplace_back(parse_chunk, &chunks[t], delim, keep_prob, seed);
   }
   for (auto& th : threads) th.join();
 
   auto* result = new ParsedCsv();
+  int64_t total_rows = 0;
   for (auto& ch : chunks) {
     if (ch.bad) {
       delete result;
       return nullptr;
     }
+    total_rows += ch.rows;
+  }
+  for (auto& ch : chunks) {
     if (ch.rows == 0) continue;
-    if (result->cols == 0) result->cols = ch.cols;
+    if (result->cols == 0) {
+      result->cols = ch.cols;
+      result->data.reserve(
+          static_cast<size_t>(total_rows * result->cols));
+    }
     if (ch.cols != result->cols) {
       delete result;
       return nullptr;
     }
     result->rows += ch.rows;
     result->data.insert(result->data.end(), ch.out.begin(), ch.out.end());
+    std::vector<float>().swap(ch.out);  // release right away: peak
+                                        // memory stays ~1x parsed data
   }
   return result;
 }

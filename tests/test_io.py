@@ -166,3 +166,25 @@ def test_ripser_neighbourhood_uses_chosen_metric(tmp_path, rng):
     pts = x[np.asarray(idx[0])]
     expect = np.abs(pts[1] - pts[0]).sum()
     assert abs(vals[1] - expect) < 1e-5
+
+
+def test_csv_strict_parse_and_deterministic_subsample(tmp_path, rng):
+    """Malformed CSV (empty fields, text tokens) fails loudly in BOTH
+    parsers; subsampling picks identical rows in the native and numpy
+    paths (byte-offset hash, independent of thread count)."""
+    bad1 = tmp_path / "bad1.csv"
+    bad1.write_text("1.5,,3.5\n7,,9\n")
+    with pytest.raises(ValueError):
+        csv_io.get_toembed_from_csv(bad1)
+    bad2 = tmp_path / "bad2.csv"
+    bad2.write_text("x1,x2,x3\n1,2,3\n")
+    with pytest.raises(ValueError):
+        csv_io.get_toembed_from_csv(bad2)
+    good = tmp_path / "good.csv"
+    x = rng.normal(size=(3000, 4)).astype(np.float32)
+    np.savetxt(good, x, delimiter=",", fmt="%.6e")
+    a_native = csv_io.get_toembed_from_csv(good, subsample=0.4, seed=3)
+    a_numpy = csv_io._numpy_parse(str(good), ",", 0.4, 3)
+    assert a_native.shape == a_numpy.shape
+    np.testing.assert_array_equal(a_native, a_numpy)
+    assert 0.25 < a_native.shape[0] / 3000 < 0.55
