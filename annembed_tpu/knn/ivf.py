@@ -180,6 +180,23 @@ def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
     return jax.lax.map(one_row, (virt_table, virt_parent))
 
 
+def ivf_sizing(n: int, k: int, nlist: int = 0):
+    """Shared IVF table sizing — the ONE place the heuristics live
+    (consumed by knn_graph_ivf, the sharded twin, and the MFU
+    microbench tool's FLOP accounting):
+      * nlist: 4*sqrt(n) keeps cells small so the local join stays
+        cheap; the recall lost to finer cells is recovered by the
+        NN-descent refinement pass (knn/api.py wiring)
+      * cap: candidates capped at 4x the average cell size
+      * qcap: query rows bounded separately (memory only, not recall)
+    Returns (nlist, cap, qcap)."""
+    if nlist <= 0:
+        nlist = max(64, int(4 * math.sqrt(n)))
+    cap = max(k + 1, int(4 * n / nlist) + 1)
+    qcap = min(cap, max(k + 1, 1024))
+    return nlist, cap, qcap
+
+
 def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                   nprobe: int = 32, dtype: str = "float32",
                   kmeans_iter: int = 10, seed: int = 0,
@@ -195,11 +212,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     """
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
-    if nlist <= 0:
-        # 4*sqrt(n) keeps cells small so the local join stays cheap;
-        # the recall lost to finer cells is recovered by the NN-descent
-        # refinement pass (knn/api.py wiring)
-        nlist = max(64, int(4 * math.sqrt(n)))
+    nlist, cap, qcap = ivf_sizing(n, k, nlist)
     nprobe = min(nprobe, nlist)
 
     # fit quantizer on a subsample, assign everyone.  The quantizer
@@ -219,10 +232,6 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     from .kmeans import assign_to_centroids
     cells = assign_to_centroids(xq, centroids)   # stays on device
 
-    # bounded tables: candidates capped at 4x the average cell size;
-    # query rows bounded separately (memory only, not recall)
-    cap = max(k + 1, int(4 * n / nlist) + 1)
-    qcap = min(cap, max(k + 1, 1024))
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
         cells, nlist, cap, qcap, v_static)

@@ -116,16 +116,15 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     the single-chip code with the same seeds (they are a small fraction
     of the build), so the output graph is identical to
     knn/ivf.py::knn_graph_ivf."""
-    import math
-    from ..knn.ivf import _ivf_tables_impl, _ivf_join, _fixup_underfilled
+    from ..knn.ivf import (_ivf_tables_impl, _ivf_join,
+                           _fixup_underfilled, ivf_sizing)
     from ..knn.kmeans import kmeans_fit, assign_to_centroids
     from ..knn.distances import l2_panel, corpus_sqnorm
 
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     ndev = mesh.devices.size
-    if nlist <= 0:
-        nlist = max(64, int(4 * math.sqrt(n)))
+    nlist, cap, qcap = ivf_sizing(n, k, nlist)
     nprobe = min(nprobe, nlist)
 
     if distance == "DistCosine":
@@ -141,8 +140,6 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     centroids, _ = kmeans_fit(sub, nlist, n_iter=kmeans_iter, seed=seed)
     cells = assign_to_centroids(xq, centroids)
 
-    cap = max(k + 1, int(4 * n / nlist) + 1)
-    qcap = min(cap, max(k + 1, 1024))
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
         cells, nlist, cap, qcap, v_static)

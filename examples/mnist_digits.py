@@ -26,8 +26,7 @@ def load_data(data_dir: str | None):
     if data_dir and Path(data_dir).exists():
         from annembed_tpu.io.mnist_io import load_mnist_full
         return load_mnist_full(data_dir), True
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from bench import synthetic_mnist
+    from bench import synthetic_mnist  # module-level sys.path covers this
     x = synthetic_mnist()
     return (x, np.zeros(len(x), np.int64)), False
 
@@ -80,6 +79,14 @@ def main():
         "intrinsic_dim": [round(dim_mean, 2), round(dim_sigma, 2)],
         "hubness_skew": round(hub.get_standard3m(), 3),
     }, default=float))
+    # artifacts are written BEFORE the expectation gate (like
+    # mnist_fashion.py): --expect decides the exit code, not whether
+    # --out/--plot are honored
+    from annembed_tpu.io.csv_io import write_csv_labeled_array2
+    write_csv_labeled_array2(args.out, labels, y)
+    if args.plot:
+        from annembed_tpu import viz
+        viz.plot_embedding(y, labels, out=args.plot)
     if args.expect:
         if not is_real:
             print("--expect needs the real MNIST IDX files (synthetic "
@@ -92,11 +99,6 @@ def main():
             {"intrinsic_dim_mean": dim_mean},
             {"intrinsic_dim_mean": 18.5})
         sys.exit(1 if failures else 0)
-    from annembed_tpu.io.csv_io import write_csv_labeled_array2
-    write_csv_labeled_array2(args.out, labels, y)
-    if args.plot:
-        from annembed_tpu import viz
-        viz.plot_embedding(y, labels, out=args.plot)
 
 
 if __name__ == "__main__":

@@ -131,9 +131,11 @@ def main():
     nlab = int(labels.max()) + 1
     means_p = np.zeros((nlab, nlab)); std_p = np.zeros((nlab, nlab))
     means_c = np.zeros((nlab, nlab)); std_c = np.zeros((nlab, nlab))
+    counts_c = np.zeros((nlab, nlab), np.int64)
     for a in range(nlab):
         for b in range(a + 1):
             sel = (key_a == a) & (key_b == b)
+            counts_c[a, b] = int(sel.sum())
             if sel.any():
                 means_p[a, b] = pd[sel].mean(); std_p[a, b] = pd[sel].std()
                 means_c[a, b] = cd[sel].mean(); std_c[a, b] = cd[sel].std()
@@ -143,10 +145,16 @@ def main():
     dump_lows(std_p, "point distances stddev:")
     dump_lows(means_c, "cdc point distances means:")
     dump_lows(std_c, "cdc point distances stddev:")
+    # between-label mean over CELLS THAT DREW SAMPLES only: at small
+    # --nb-sample some label pairs get zero draws and their 0.0
+    # placeholder would bias the contrast
+    li, lj = np.tril_indices(nlab, -1)
+    seen = counts_c[li, lj] > 0
+    between = (float(means_c[li, lj][seen].mean()) if seen.any()
+               else float("nan"))
     print(json.dumps({"corr": corr, "nb_sample": nb,
                       "within_mean": float(np.mean(np.diag(means_c))),
-                      "between_mean": float(
-                          means_c[np.tril_indices(nlab, -1)].mean())}))
+                      "between_mean": between}))
 
 
 if __name__ == "__main__":

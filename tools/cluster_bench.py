@@ -28,14 +28,25 @@ import numpy as np  # noqa: E402
 
 
 def locality_graph(n: int, k: int, seed: int = 0):
+    """1-D locality kNN graph: node i's neighbours are the k other ids
+    in a (k+1)-wide window around i, shifted inward at the boundaries —
+    every row holds k DISTINCT non-self ids for any k (the old
+    clip-based fixup left self-loops at the top edge and duplicates at
+    the bottom, and silently built k-1 columns for odd k)."""
     from annembed_tpu.graph.kgraph import KGraph
+    if k < 1 or k >= n:
+        raise SystemExit(f"--k must be in [1, n) (got k={k}, n={n})")
     rng = np.random.default_rng(seed)
     xs = np.sort(rng.random(n).astype(np.float64)) * (n / 1000.0)
     half = k // 2
-    offs = np.array([o for o in range(-half, half + 1) if o != 0][:k])
-    idx = (np.arange(n)[:, None] + offs[None, :]).clip(0, n - 1)
-    idx = np.where(idx == np.arange(n)[:, None],
-                   (np.arange(n)[:, None] + half + 1).clip(0, n - 1), idx)
+    # window of k+1 consecutive ids containing i (shifted inward at
+    # the boundaries), minus i itself -> k distinct non-self ids/row
+    rows = np.arange(n)
+    lo = np.clip(rows - half, 0, n - 1 - k)
+    win = lo[:, None] + np.arange(k + 1)[None, :]      # (n, k+1)
+    notself = win != rows[:, None]
+    assert notself.sum(1).min() == k, "window must contain i exactly once"
+    idx = win[notself].reshape(n, k)
     d = np.abs(xs[idx] - xs[:, None]).astype(np.float32)
     order = np.argsort(d, axis=1)
     return KGraph(indices=np.take_along_axis(idx, order, 1).astype(np.int32),

@@ -117,11 +117,14 @@ npar = to_proba_edges(g70, 0.5, 1.0)
 key = jax.random.PRNGKey(0)
 y0 = jax.random.uniform(key, (n70, 2), jnp.float32, -5.0, 5.0)
 
-NB = 4          # batches (4*60 = 240 sub-sweeps timed)
+NB = 4
 p = EmbedderParams(nb_grad_batch=NB)
 _, w_warm = timed(lambda: run_dense_optimization(
-    y0, g70, npar, p, n_sub=60)[0], "dense 4x60 sweeps", reps=1)
-sweeps = NB * 60
+    y0, g70, npar, p, n_sub=60)[0], "dense (NB-1)x60 sweeps", reps=1)
+# executed sweeps: the optimizer SKIPS the schedule's zero-gamma final
+# batch (optim/dense.py total_steps) — dividing by NB*60 understated
+# per_sweep by 25% and overstated the HBM fraction by a third
+sweeps = max(NB - 1, 0) * 60
 per_sweep = w_warm / sweeps
 # modeled HBM traffic of one sub-sweep (transposed layout, n_groups=2,
 # d=2, k_g=3, n_neg=5): attraction reads y(d,n) own + k_g gathered
@@ -150,20 +153,30 @@ from annembed_tpu.knn.nndescent import nndescent_refine  # noqa: E402
 
 kb = 12  # build-k (knbn=6 x factor 2)
 nprobe = 16
+# warm pass first (compile excluded) so the MFU number is comparable
+# with the warmed brute/dense sections
+t0 = time.perf_counter()
+ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16")
+jax.block_until_ready(dd)
+w_cold = time.perf_counter() - t0
 t0 = time.perf_counter()
 ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16")
 jax.block_until_ready(dd)
 w_ivf = time.perf_counter() - t0
-# useful panel FLOPs: each real query row scores nprobe*cap candidates
-nlist = max(64, int(4 * math.sqrt(n2)))
-cap = max(kb + 1, int(4 * n2 / nlist) + 1)
-qcap = min(cap, max(kb + 1, 1024))
+# sizing from the SAME helper the build uses (knn/ivf.py::ivf_sizing)
+# so retuned heuristics cannot silently skew the FLOP accounting
+from annembed_tpu.knn.ivf import ivf_sizing  # noqa: E402
+nlist, cap, qcap = ivf_sizing(n2, kb)
 d2 = x2.shape[1]
+# useful panel FLOPs: each real query row scores nprobe*cap candidates
 useful_flops = 2.0 * n2 * nprobe * cap * d2
 padded_rows = (nlist + n2 // qcap) * qcap        # upper bound w/o trim
+padded_flops = 2.0 * padded_rows * nprobe * cap * d2
 emit({"bench": "ivf_join", "n": n2, "wall_s": round(w_ivf, 1),
+      "cold_wall_s": round(w_cold, 1),
       "nlist": nlist, "cap": cap, "nprobe": nprobe,
       "useful_tflops": round(useful_flops / w_ivf / 1e12, 2),
+      "padded_tflops": round(padded_flops / w_ivf / 1e12, 2),
       "mfu_vs_bf16_peak": round(useful_flops / w_ivf / PEAK_BF16, 4),
       "note": "gather-dominated: candidate row gathers per panel"})
 
@@ -185,6 +198,9 @@ for rho, rounds in ((1.0, 1), (0.5, 1), (0.5, 2)):
     w = time.perf_counter() - t0
     rec = recall_at_k(np.asarray(ri)[sub], exact)
     emit({"bench": "nndescent", "rho": rho, "rounds": rounds,
-          "wall_s": round(w, 1), "recall_at_k": round(float(rec), 4)})
+          "wall_s": round(w, 1), "recall_at_k": round(float(rec), 4),
+          # first config of each shape pays the slab compile; later
+          # ones reuse it — not directly comparable to warmed sections
+          "includes_compile": True})
 
 note("done")
