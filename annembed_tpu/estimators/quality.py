@@ -141,9 +141,25 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # NN-descent refinement is skipped here: at nbng ~ 50 its
         # candidate set is (2*nbng)^2 per node (prohibitive at millions
         # of points), and the radius estimate only shifts marginally
-        # with IVF-level recall.
+        # with IVF-level recall.  The embedded cloud is low-d (usually
+        # 2), so the grid quantizer's ~13 block probes replace the
+        # k-means quantizer's ~32 nearest-centroid probes at equal
+        # recall — the dominant cost of this phase at 11M.
         if knn_params is None:
-            knn_params = KnnParams(knbn=nbng, refine_rounds=0)
+            knn_params = KnnParams(
+                knbn=nbng, refine_rounds=0,
+                quantizer="grid" if y.shape[1] == 2 else "kmeans")
+        else:
+            # caller params carry the ORIGINAL-space tuning; keep the
+            # strategy knobs that transfer (brute_force_limit, nlist,
+            # nprobe, dtype, topk_recall) but force the embedded-space
+            # essentials: knbn=nbng, no NN-descent (see above), grid
+            # quantizer on the low-d cloud
+            import dataclasses
+            knn_params = dataclasses.replace(
+                knn_params, knbn=nbng, refine_rounds=0,
+                quantizer="grid" if y.shape[1] == 2
+                else knn_params.quantizer)
         emb_graph = build_kgraph(y, nbng, distance="DistL2",
                                  params=knn_params)
         radius = emb_graph.dists[:, -1]                          # (n,)

@@ -41,7 +41,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
         idx, dist = knn_graph_ivf(x, kb, distance=distance,
                                   nlist=params.nlist, nprobe=params.nprobe,
                                   dtype=params.dtype,
-                                  topk_recall=params.topk_recall)
+                                  topk_recall=params.topk_recall,
+                                  quantizer=params.quantizer)
         if params.refine_rounds > 0:
             from .nndescent import nndescent_refine
             idx, dist = nndescent_refine(x, idx, dist,

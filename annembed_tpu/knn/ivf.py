@@ -197,32 +197,121 @@ def ivf_sizing(n: int, k: int, nlist: int = 0):
     return nlist, cap, qcap
 
 
-def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
-                  nprobe: int = 32, dtype: str = "float32",
-                  kmeans_iter: int = 10, seed: int = 0,
-                  sample_size: int = 500_000, topk_recall: float = 0.0):
-    """Approximate kNN graph via IVF local join.  Returns (idx, dist).
+@functools.partial(jax.jit, static_argnames=("g",))
+def _strip_grid_assign(xq, g: int):
+    """Strip-balanced 2-D partition: g equal-mass strips by rank of
+    dim 0, then g equal-count cells by rank of dim 1 WITHIN each strip.
+    Every cell holds ~n/g^2 points exactly, so cells never overflow the
+    candidate cap and never come up empty (a plain per-dim quantile
+    grid left near-empty joint cells in low-density corners, which
+    starved their kNN rows).  Stays on device.
 
-    All five reference metrics are served (bin/embed.rs:546-565): the
-    in-join distances use the metric's own panel; the coarse k-means
-    quantizer always partitions in L2 (on L2-normalized vectors for
-    cosine, where it is exactly spherical k-means; for L1/Jeffreys/JS
-    the L2 partition is an approximation whose recall loss is
-    recovered by the metric-aware NN-descent refinement, knn/api.py).
-    """
-    x = jnp.asarray(x, jnp.float32)
-    n, d = x.shape
+    Returns (cells (n,) int32, bounds (g, g-1) f32, counts (g,)):
+    bounds[s, j-1] is the lower y-boundary of cell j in strip s (used
+    by the host-side probe-table construction)."""
+    n = xq.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ord0 = jnp.argsort(xq[:, 0])
+    rank0 = jnp.zeros((n,), jnp.int32).at[ord0].set(iota)
+    # strip = rank // ceil(n/g): int32-safe for any n < 2^31 (a
+    # rank*g product would overflow past n*g ~ 2^31); the last strip
+    # may run slightly short — counts/bincount absorb the imbalance
+    stripe = -(-n // g)
+    strip = (rank0 // stripe).astype(jnp.int32)
+    counts = jnp.bincount(strip, length=g).astype(jnp.int32)  # (g,)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    strip_s, y_s, idx_s = jax.lax.sort(
+        (strip, xq[:, 1], iota), num_keys=2)
+    pos = iota - starts[strip_s]            # < ceil(n/g) per strip
+    cnt = jnp.maximum(counts[strip_s], 1)
+    cell_y = (pos * g) // cnt               # pos*g <= n: int32-safe
+    cells_sorted = strip_s * g + cell_y
+    cells = jnp.zeros((n,), jnp.int32).at[idx_s].set(cells_sorted)
+    # lower boundary of cell j (j in 1..g-1) in strip s: the y value at
+    # the first position of that cell, ceil(j*count/g) into the strip
+    j = jnp.arange(1, g, dtype=jnp.int32)[None, :]          # (1, g-1)
+    bpos = starts[:, None] + -(-(j * counts[:, None]) // g)  # j*cnt <= n
+    bounds = y_s[jnp.clip(bpos, 0, n - 1)]
+    return cells, bounds, counts
+
+
+def _strip_cell_neighbors(bounds: np.ndarray, g: int,
+                          w: int = 5) -> np.ndarray:
+    """Probe table for the strip-balanced partition: cell (s, j)
+    probes (j-1, j, j+1) in its own strip plus up to ``w`` cells in
+    each adjacent strip whose y-range overlaps its own (strips have
+    independent y-boundaries, so the overlap window is found by
+    searchsorted on the neighbour strip's bounds).  Out-of-range slots
+    hold the sentinel id g^2 (the caller appends an all-pad candidate
+    row); no probe id is duplicated.  Host-side: bounds is a tiny
+    (g, g-1) array."""
+    nlist = g * g
+    probes = np.full((nlist, 3 + 2 * w), nlist, np.int32)
+    for s in range(g):
+        lo_b = np.concatenate([[-np.inf], bounds[s]])      # (g,)
+        hi_b = np.concatenate([bounds[s], [np.inf]])
+        for j in range(g):
+            c = s * g + j
+            col = 0
+            for jj in (j - 1, j, j + 1):
+                if 0 <= jj < g:
+                    probes[c, col] = s * g + jj
+                col += 1
+            for side, sp in ((0, s - 1), (1, s + 1)):
+                base = 3 + side * w
+                if not (0 <= sp < g):
+                    continue
+                jlo = int(np.searchsorted(bounds[sp], lo_b[j],
+                                          side="right"))
+                jhi = int(np.searchsorted(bounds[sp], hi_b[j],
+                                          side="right"))
+                # widen by one on each side for boundary ties
+                jlo = max(jlo - 1, 0)
+                jhi = min(jhi + 1, g - 1)
+                for t, jj in enumerate(range(jlo, min(jhi, jlo + w - 1)
+                                             + 1)):
+                    probes[c, base + t] = sp * g + jj
+    return probes
+
+
+def _quantize_cells(xq, k: int, nlist: int, nprobe: int, quantizer: str,
+                    seed: int, sample_size: int, kmeans_iter: int):
+    """Coarse-quantizer dispatch shared by the single-chip and sharded
+    IVF builds.  Returns (cells, cell_nbrs, nlist, cap, qcap,
+    pad_cell): ``pad_cell`` means cell_nbrs contains the sentinel id
+    ``nlist`` and the caller must append one all-pad candidate row.
+
+    quantizer="grid" (d == 2 only, e.g. the 2-D embedded cloud the
+    quality estimator re-indexes): strip-balanced equal-count cells
+    with overlap-mapped block probes (~13 probes replace the ~24-32
+    nearest-centroid probes of the k-means quantizer at equal recall,
+    and no k-means fit/assignment pass is needed at all).  The tiny
+    (g, g-1) boundary readback is safe here: knn_graph_ivf already
+    performs its documented one-int readback in the same phase."""
+    n, d = xq.shape
+    if quantizer == "grid":
+        if d != 2:
+            raise ValueError(
+                f"grid quantizer supports exactly d == 2 (got d={d}); "
+                "use quantizer='kmeans'")
+        nlist0, _, _ = ivf_sizing(n, k, nlist)
+        # keep cells big enough relative to k: the ~13-cell probe
+        # window must comfortably contain the k-NN radius, so bound
+        # occupancy below by ~3k (matters for small n / large k; at
+        # 11M x k=100 the 4*sqrt(n) sizing already satisfies it)
+        nlist0 = min(nlist0, max(4, n // (3 * k)))
+        g = max(2, int(round(nlist0 ** 0.5)))
+        nlist = g * g
+        _, cap, qcap = ivf_sizing(n, k, nlist)
+        cells, bounds, _ = _strip_grid_assign(xq, g)
+        cell_nbrs = jnp.asarray(
+            _strip_cell_neighbors(np.asarray(bounds), g))
+        return cells, cell_nbrs, nlist, cap, qcap, True
+    if quantizer != "kmeans":
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     nlist, cap, qcap = ivf_sizing(n, k, nlist)
     nprobe = min(nprobe, nlist)
-
-    # fit quantizer on a subsample, assign everyone.  The quantizer
-    # space is L2: for cosine, partition the L2-normalized vectors
-    # (spherical k-means — exact for the cosine topology)
-    if distance == "DistCosine":
-        xq = x / jnp.maximum(
-            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-    else:
-        xq = x
     if n > sample_size:
         key = jax.random.PRNGKey(seed + 1)
         sub = xq[jax.random.choice(key, n, (sample_size,), replace=False)]
@@ -231,18 +320,52 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     centroids, _ = kmeans_fit(sub, nlist, n_iter=kmeans_iter, seed=seed)
     from .kmeans import assign_to_centroids
     cells = assign_to_centroids(xq, centroids)   # stays on device
+    # nearest cells per cell (self included first, exact centroid panel)
+    c_sq = corpus_sqnorm(centroids)
+    cd = l2_panel(centroids, centroids, c_sq)
+    _, cell_nbrs = jax.lax.top_k(-cd, nprobe)
+    return cells, cell_nbrs.astype(jnp.int32), nlist, cap, qcap, False
+
+
+def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
+                  nprobe: int = 32, dtype: str = "float32",
+                  kmeans_iter: int = 10, seed: int = 0,
+                  sample_size: int = 500_000, topk_recall: float = 0.0,
+                  quantizer: str = "kmeans"):
+    """Approximate kNN graph via IVF local join.  Returns (idx, dist).
+
+    All five reference metrics are served (bin/embed.rs:546-565): the
+    in-join distances use the metric's own panel; the coarse quantizer
+    always partitions in L2 (on L2-normalized vectors for cosine,
+    where it is exactly spherical k-means; for L1/Jeffreys/JS the L2
+    partition is an approximation whose recall loss is recovered by
+    the metric-aware NN-descent refinement, knn/api.py).
+
+    ``quantizer="grid"`` (d <= 3) replaces the k-means cells with an
+    equal-mass grid + block probes — see ``_quantize_cells``.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+
+    # quantizer space: L2-normalized vectors for cosine
+    if distance == "DistCosine":
+        xq = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    else:
+        xq = x
+    cells, cell_nbrs, nlist, cap, qcap, pad_cell = _quantize_cells(
+        xq, k, nlist, nprobe, quantizer, seed, sample_size, kmeans_iter)
+    nprobe = cell_nbrs.shape[1]
 
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
         cells, nlist, cap, qcap, v_static)
-
-    # nearest cells per cell (self included first, exact panel on centroids)
-    c_sq = corpus_sqnorm(centroids)
-    cd = l2_panel(centroids, centroids, c_sq)
-    _, cell_nbrs = jax.lax.top_k(-cd, nprobe)
+    if pad_cell:
+        # sentinel probe id nlist -> one all-pad candidate row
+        cand_table = jnp.concatenate(
+            [cand_table, jnp.full((1, cap), n, jnp.int32)])
 
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
-    cell_nbrs = cell_nbrs.astype(jnp.int32)
 
     # dispatch the join in bounded virtual-row slabs: one device program
     # must stay in the seconds range (the runtime kills multi-minute

@@ -110,44 +110,35 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
                           nlist: int = 0, nprobe: int = 32,
                           dtype: str = "float32", kmeans_iter: int = 10,
                           seed: int = 0, sample_size: int = 500_000,
-                          topk_recall: float = 0.0):
+                          topk_recall: float = 0.0,
+                          quantizer: str = "kmeans"):
     """IVF local join with the virtual query rows sharded over the
     mesh.  Quantizer fit, cell assignment and table construction reuse
     the single-chip code with the same seeds (they are a small fraction
     of the build), so the output graph is identical to
     knn/ivf.py::knn_graph_ivf."""
     from ..knn.ivf import (_ivf_tables_impl, _ivf_join,
-                           _fixup_underfilled, ivf_sizing)
-    from ..knn.kmeans import kmeans_fit, assign_to_centroids
-    from ..knn.distances import l2_panel, corpus_sqnorm
+                           _fixup_underfilled, _quantize_cells)
 
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     ndev = mesh.devices.size
-    nlist, cap, qcap = ivf_sizing(n, k, nlist)
-    nprobe = min(nprobe, nlist)
 
     if distance == "DistCosine":
         xq = x / jnp.maximum(
             jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     else:
         xq = x
-    if n > sample_size:
-        key = jax.random.PRNGKey(seed + 1)
-        sub = xq[jax.random.choice(key, n, (sample_size,), replace=False)]
-    else:
-        sub = xq
-    centroids, _ = kmeans_fit(sub, nlist, n_iter=kmeans_iter, seed=seed)
-    cells = assign_to_centroids(xq, centroids)
+    cells, cell_nbrs, nlist, cap, qcap, pad_cell = _quantize_cells(
+        xq, k, nlist, nprobe, quantizer, seed, sample_size, kmeans_iter)
+    nprobe = cell_nbrs.shape[1]
 
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
         cells, nlist, cap, qcap, v_static)
-
-    c_sq = corpus_sqnorm(centroids)
-    cd = l2_panel(centroids, centroids, c_sq)
-    _, cell_nbrs = jax.lax.top_k(-cd, nprobe)
-    cell_nbrs = cell_nbrs.astype(jnp.int32)
+    if pad_cell:
+        cand_table = jnp.concatenate(
+            [cand_table, jnp.full((1, cap), n, jnp.int32)])
     x_pad = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
 
     def local(xp, vt, vp, ct, cn):
@@ -298,7 +289,8 @@ def sharded_build_kgraph(x, knbn: int, mesh: Mesh,
         idx, dist = sharded_knn_graph_ivf(
             x, kb, mesh, distance=distance, nlist=params.nlist,
             nprobe=params.nprobe, dtype=params.dtype,
-            topk_recall=params.topk_recall)
+            topk_recall=params.topk_recall,
+            quantizer=params.quantizer)
         if params.refine_rounds > 0:
             idx, dist = sharded_nndescent_refine(
                 x, idx, dist, mesh, n_rounds=params.refine_rounds,

@@ -249,3 +249,9 @@ class KnnParams:
     #: join; 0.4-0.6 with one extra round gives the same recall for
     #: roughly half the build time at 11M (PERF.md round 3).
     nndescent_rho: float = 1.0
+    #: IVF coarse quantizer: "kmeans" (any d) or "grid" (d <= 3 only;
+    #: equal-mass grid cells + (2r+1)^d block probes — ~9 probes
+    #: replace ~24-32 nearest-centroid probes at equal recall on
+    #: low-dimensional clouds, e.g. the embedded 2-D cloud the quality
+    #: estimator re-indexes; no k-means fit needed).
+    quantizer: str = "kmeans"

@@ -202,3 +202,46 @@ def test_ivf_underfilled_rows_are_valid(rng):
     assert np.isfinite(dist).all()
     assert (np.diff(dist, axis=1) >= 0).all()
     _ = x[idx]          # numpy consumer must not raise
+
+
+def test_grid_quantizer_2d(rng):
+    """Strip-balanced grid IVF on a 2-D cloud: high recall, no
+    duplicate ids, no underfilled rows (every cell holds ~n/g^2
+    points by construction)."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.knn.api import recall_at_k
+    centers = rng.normal(0, 5, (8, 2))
+    y = (centers[rng.integers(0, 8, 12000)]
+         + rng.normal(0, 0.8, (12000, 2))).astype(np.float32)
+    ei, _ = knn_graph_brute(y, 10)
+    gi, gd = knn_graph_ivf(y, 10, quantizer="grid")
+    gi_np = np.asarray(gi)
+    assert recall_at_k(gi, np.asarray(ei)) > 0.97
+    assert all(len(set(r.tolist())) == 10 for r in gi_np)
+    assert np.isfinite(np.asarray(gd)).all()
+    # d != 2 rejected
+    import pytest as _pytest
+    x3 = rng.normal(size=(500, 3)).astype(np.float32)
+    with _pytest.raises(ValueError, match="d == 2"):
+        knn_graph_ivf(x3, 5, quantizer="grid")
+
+
+def test_quality_uses_grid_on_2d_embedding(rng):
+    """quality_estimate's full-fraction embedded rebuild takes the grid
+    path on a 2-D cloud (forced via a tiny brute_force_limit) and
+    produces sane conservation numbers."""
+    from annembed_tpu.estimators.quality import quality_estimate
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.params import KnnParams
+    x = rng.normal(size=(3000, 10)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, 6)
+    g = KGraph(indices=idx, dists=dist)
+    y = x[:, :2]  # fake 'embedding' correlated with the data
+    kp = KnnParams(knbn=6, brute_force_limit=1000, refine_rounds=3)
+    q = quality_estimate(g, y, nbng=10, knn_params=kp)
+    assert q.nb_sampled == 3000
+    # a 2-of-10-dim projection conserves some neighbours, not many
+    assert q.mean_nb_matched > 0.5
+    assert np.isfinite(q.median_ratio)
