@@ -226,3 +226,19 @@ def test_sharded_brute_topk_recall_parity(rng, mesh):
     np.testing.assert_array_equal(np.asarray(idx_1), np.asarray(idx_s))
     np.testing.assert_allclose(np.asarray(dist_1), np.asarray(dist_s),
                                rtol=1e-5)
+
+
+def test_sharded_ivf_grid_parity(rng, mesh):
+    """Grid-quantizer IVF: sharded == single-chip (same strip
+    partition, same probe table, rows fanned out)."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    from annembed_tpu.parallel.sharded_knn import sharded_knn_graph_ivf
+    centers = rng.normal(0, 5, (6, 2))
+    y = (centers[rng.integers(0, 6, 4000)]
+         + rng.normal(0, 0.7, (4000, 2))).astype(np.float32)
+    i1, d1 = knn_graph_ivf(y, 8, quantizer="grid")
+    i2, d2 = sharded_knn_graph_ivf(jnp.asarray(y), 8, mesh,
+                                   quantizer="grid")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
