@@ -385,7 +385,10 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     # clamp the memory-heuristic slab to the real row count: otherwise
     # a small v_total is padded up to the full slab and the join runs
     # hundreds of all-pad (qcap, nprobe*cap) panels into the sentinel
-    rows_per_slab = min(max(8, 20_000_000 // max(cap * nprobe, 1)),
+    import os
+    slab_budget = int(os.environ.get("ANNEMBED_IVF_SLAB_CANDROWS",
+                                     20_000_000))
+    rows_per_slab = min(max(8, slab_budget // max(cap * nprobe, 1)),
                         max(v_total, 1))
     idx = jnp.zeros((n + 1, k), jnp.int32)
     dist = jnp.zeros((n + 1, k), jnp.float32)

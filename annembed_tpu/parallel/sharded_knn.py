@@ -153,7 +153,10 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     v_total = int(v_used)
     # one device program stays in the seconds range; each slab is a
     # multiple of the mesh size so shards stay equal
-    rows_per_slab = min(max(8, 20_000_000 // max(cap * nprobe, 1)),
+    import os
+    slab_budget = int(os.environ.get("ANNEMBED_IVF_SLAB_CANDROWS",
+                                     20_000_000))
+    rows_per_slab = min(max(8, slab_budget // max(cap * nprobe, 1)),
                         max(v_total, 1))     # clamp: no all-pad slabs
     rows_per_slab = -(-rows_per_slab // ndev) * ndev
     idx = jnp.zeros((n + 1, k), jnp.int32)

@@ -245,3 +245,16 @@ def test_quality_uses_grid_on_2d_embedding(rng):
     # a 2-of-10-dim projection conserves some neighbours, not many
     assert q.mean_nb_matched > 0.5
     assert np.isfinite(q.median_ratio)
+
+
+def test_multi_slab_join_parity(rng, monkeypatch):
+    """The bounded-slab dispatch must agree with a single-slab run:
+    shrink the slab budget so the join takes many slabs (the 11M path
+    always does; tests otherwise only ever exercise one slab)."""
+    from annembed_tpu.knn.ivf import knn_graph_ivf
+    x = rng.normal(size=(3000, 8)).astype(np.float32)
+    i1, d1 = knn_graph_ivf(x, 6, nprobe=8)
+    monkeypatch.setenv("ANNEMBED_IVF_SLAB_CANDROWS", "2000")
+    i2, d2 = knn_graph_ivf(x, 6, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
