@@ -268,7 +268,7 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
 def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
                           scale_iT, scale_jT, gamma, b: float,
                           f_min: float = 1e-3, mask=None,
-                          mask_p: float = 1.0):
+                          mask_p: float = 1.0, y_ownT=None):
     """Transposed (feature-minor) scatter-free attraction.
 
     Same math as ``_attraction_sweep_scatter_free`` but every array is
@@ -278,9 +278,15 @@ def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
     whereas the row-major (n, kg)/(n, kg, d) forms pad kg->128 and
     d->128 (measured 2-3x on the sweep).  ``scale_jT`` is the
     PRE-GATHERED emb_scale[idx] (indices are static across sweeps, so
-    the gather happens once at build, not every sweep)."""
+    the gather happens once at build, not every sweep).
+
+    ``y_ownT`` (d, m): the self-coordinate block when it differs from
+    the gather source — the sharded path passes its device's row block
+    while gathering neighbours from the replicated yT, so the formula
+    lives HERE once for both the single- and multi-chip paths."""
+    y_own = yT if y_ownT is None else y_ownT
     yj = yT[:, idxT]                                   # (d, kg, n)
-    diff = yj - yT[:, None, :]
+    diff = yj - y_own[:, None, :]
     d2 = jnp.sum(jnp.square(diff), 0)                  # (kg, n)
     alpha_f = _clipped_alpha(d2 / jnp.square(scale_iT), scale_iT, wT,
                              gamma, b)
@@ -324,18 +330,28 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
     yi = yT
     for t in range(n_neg):
         yk_t = jnp.roll(yT, -shifts[t], axis=1)         # snapshot roll
-        d2s = jnp.sum(jnp.square(yi - yk_t), 0,
-                      keepdims=True) / jnp.square(emb_scaleT)
-        coeff = _common_coeff(d2s, emb_scaleT, b)
-        rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
-        coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
-        if neg_weight is not None:
-            coeff_ik = coeff_ik * jnp.roll(neg_weight,
-                                           -shifts[t])[None, :]
-        ok = (d2s > 0.0) & ok_all[t][None, :]
-        coeff_ik = jnp.where(ok, coeff_ik, 0.0)
-        yi = yi + (yi - yk_t) * coeff_ik
+        nw_t = (None if neg_weight is None
+                else jnp.roll(neg_weight, -shifts[t])[None, :])
+        yi = _repulsion_kick_T(yi, yk_t, emb_scaleT, gamma, b,
+                               ok_all[t][None, :], nw_t)
     return yi - yT
+
+
+def _repulsion_kick_T(yi, yk_t, scaleT, gamma, b: float, ok_mask, nw_t):
+    """ONE sequential repulsion kick in transposed layout — the shared
+    formula of the single-chip rolled pool (above) and the sharded
+    per-device window pool (parallel/sharded.py): coeff capped at 2
+    (embedder.rs:1288), pole floored at 1/16, optional hubness
+    importance weight, self/neighbour rejection via ``ok_mask``."""
+    d2s = jnp.sum(jnp.square(yi - yk_t), 0,
+                  keepdims=True) / jnp.square(scaleT)
+    coeff = _common_coeff(d2s, scaleT, b)
+    rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+    coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+    if nw_t is not None:
+        coeff_ik = coeff_ik * nw_t
+    coeff_ik = jnp.where((d2s > 0.0) & ok_mask, coeff_ik, 0.0)
+    return yi + (yi - yk_t) * coeff_ik
 
 
 @jax.jit
@@ -520,9 +536,10 @@ _SWEEP_REFERENCE_N = 70_000
 
 
 def _segment_cap(n: int, n_groups: int) -> int:
+    # (group rotation uses the GLOBAL step index, so segment sizes need
+    # no n_groups alignment)
     cap = (_MAX_SWEEPS_PER_PROGRAM * _SWEEP_REFERENCE_N
            // max(n, _SWEEP_REFERENCE_N))
-    cap -= cap % n_groups
     return max(cap, n_groups)
 
 
@@ -539,20 +556,23 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
     total_steps = max(nb_grad_batch - 1, 0) * n_sub
     if total_steps == 0:
         return y0
-    # segments stay multiples of n_groups so the group rotation aligns
-    # with the compiled switch order
     seg = min(total_steps, _segment_cap(y0.shape[0], n_groups))
     n_segs = -(-total_steps // seg)
     y = y0
     keys = jax.random.split(key, n_segs)
     for si in range(n_segs):
+        # the last segment runs only the REMAINING steps (one extra
+        # compile for the remainder shape): padding it to seg would
+        # execute up to seg-1 zero-gamma no-op sweeps at full device
+        # cost (~4% of the optimize wall at the 2M operating point)
+        seg_steps = min(seg, total_steps - si * seg)
         y = _dense_segment(y, indices, w, m_visit, w_rev, m_rev_visit,
                            emb_scale, keys[si], neg_weight,
                            grad_step_init=grad_step_init, b=b,
                            n_sub=n_sub, n_neg=n_neg,
                            nb_grad_batch=nb_grad_batch,
                            n_groups=n_groups, scatter_free=scatter_free,
-                           step0=jnp.int32(si * seg), seg_steps=seg,
+                           step0=jnp.int32(si * seg), seg_steps=seg_steps,
                            f_min=f_min, mask_p=mask_p)
     return y
 

@@ -73,6 +73,11 @@ def _local_delta(y, key, src, dst, weight, local_cdf, neighbors,
     i = src[eidx]
     j = dst[eidx]
     w = weight[eidx]
+    # draws that land on zero-weight PADDING edges (a shard whose rows
+    # are all padding has an all-zero cdf, so every draw clamps there)
+    # must be complete no-ops: without this mask the pad edge (0, 0, 0)
+    # still fired batch_size * NB_NEGATIVE repulsion kicks at node 0
+    valid = w > 0.0
     yi, yj = y[i], y[j]
     scale = emb_scale[i]
     d2s = jnp.sum(jnp.square(yi - yj), -1) / jnp.square(scale)
@@ -80,7 +85,7 @@ def _local_delta(y, key, src, dst, weight, local_cdf, neighbors,
     rep_att = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / PROBA_MIN)
     coeff_ij = jnp.maximum(grad_step * coeff * (-w + (1 - w) * rep_att),
                            -0.49)
-    coeff_ij = jnp.where(d2s > 0, coeff_ij, 0.0)
+    coeff_ij = jnp.where((d2s > 0) & valid, coeff_ij, 0.0)
     g_att = (yj - yi) * coeff_ij[:, None]
 
     neg = jax.random.randint(k_neg, (batch_size, NB_NEGATIVE), 0, n,
@@ -94,7 +99,8 @@ def _local_delta(y, key, src, dst, weight, local_cdf, neighbors,
     coeff_k = _common_coeff(d2k, scale[:, None], b)
     rep = 1.0 / jnp.maximum(jnp.square(d2k), 1.0 / 16.0)
     coeff_ik = jnp.minimum(grad_step * coeff_k * rep, 2.0)
-    coeff_ik = jnp.where((d2k > 0) & ~reject, coeff_ik, 0.0)
+    coeff_ik = jnp.where((d2k > 0) & ~reject & valid[:, None],
+                         coeff_ik, 0.0)
     g_rep = (yk - yi[:, None, :]) * coeff_ik[:, :, None]
 
     delta = jnp.zeros_like(y)
@@ -244,9 +250,9 @@ def shard_edge_set(es: EdgeSet, mesh: Mesh):
     ndev = mesh.devices.size
     e = es.nb_edges
     if e < ndev:
-        # a shard with zero total weight would make its cdf all zeros
-        # and every draw clamp to the padded (0, 0, 0) edge, which
-        # still applies spurious repulsion kicks to node 0
+        # degenerate: fewer edges than devices (all-pad shards would
+        # merely waste their draws — _local_delta masks pad-edge draws
+        # to no-ops — but such an EdgeSet is a caller bug)
         raise ValueError(f"need at least one edge per device "
                          f"({e} edges, {ndev} devices)")
     pad = (-e) % ndev
@@ -288,7 +294,7 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     tiling.  Each kick's negative pool is a CONTIGUOUS window of the
     replicated embedding (positions [r0 + s_t, r0 + m + s_t) mod n), so
     repulsion stays gather-free on every device."""
-    from ..optim.dense import _clipped_alpha
+    from ..optim.dense import _attraction_sweep_sfT, _repulsion_kick_T
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
               neg_weight, keys, step0):
@@ -319,26 +325,16 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
             gd = groups[c]
 
             def branch(yT, gamma, mask):
-                # yT replicated (dim, n); own rows (dim, m)
+                # yT replicated (dim, n); own rows (dim, m).  The
+                # formula lives in optim/dense.py::_attraction_sweep_sfT
+                # (y_ownT = this device's block, gathers from the
+                # replicated snapshot) — single source, no drift.
                 yiT = jax.lax.dynamic_slice(yT, (0, r0), (dim, m_rows))
-                yj = yT[:, gd["idxT"]]                  # (dim, kg, m)
-                diff = yj - yiT[:, None, :]
-                d2 = jnp.sum(jnp.square(diff), 0)       # (kg, m)
-                a_f = _clipped_alpha(d2 / jnp.square(scale_iT),
-                                     scale_iT, gd["wT"], gamma, b)
-                a_r = _clipped_alpha(d2 / jnp.square(gd["scale_jT"]),
-                                     gd["scale_jT"], gd["w_revT"],
-                                     gamma, b)
-                m_eff = gd["mT"] if mask is None \
-                    else gd["mT"] * mask * (1.0 / mask_p)
-                f_pair = jnp.exp(
-                    m_eff * jnp.log(jnp.clip(1.0 - 2.0 * a_f, 1e-3, 1.05))
-                    + gd["m_revT"] * jnp.log(jnp.clip(1.0 - 2.0 * a_r,
-                                                      1e-3, 1.05)))
-                f_pair = jnp.maximum(f_pair, f_min)
-                c_pair = jnp.where(gd["w_revT"] > 0.0, 0.5, 1.0)
-                net = c_pair * (1.0 - f_pair)           # (kg, m)
-                return yiT + jnp.sum(diff * net[None, :, :], axis=1)
+                delta = _attraction_sweep_sfT(
+                    yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
+                    gd["m_revT"], scale_iT, gd["scale_jT"], gamma, b,
+                    f_min=f_min, mask=mask, mask_p=mask_p, y_ownT=yiT)
+                return yiT + delta
 
             return branch
 
@@ -368,33 +364,33 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
             yT = gather_rows(rowsT)
 
             # repulsion: per-kick contiguous window of the replicated
-            # embedding (single-chip _repulsion_sweep_rolledT semantics)
+            # embedding (single-chip _repulsion_sweep_rolledT semantics;
+            # shared kick formula _repulsion_kick_T).  Everything that
+            # does not depend on the sequentially-updated yiT is
+            # batched into one op per sweep — shifts (n_neg,), partner
+            # ids and rejection masks (n_neg, m) — mirroring the
+            # op-overhead fix the single-chip path carries.
             offset = jax.random.randint(kk, (), 0, n)
             ycat = jnp.concatenate([yT, yT], axis=1)       # (dim, 2n)
             nwcat = jnp.concatenate([neg_weight, neg_weight])
             yiT = jax.lax.dynamic_slice(yT, (0, r0), (dim, m_rows))
+            shifts = (offset + stride
+                      * jnp.arange(n_neg, dtype=jnp.int32)) % n
+            nid_all = (r0 + pos_local[None, :] + shifts[:, None]) % n
+            ok_all = (nid_all != (r0 + pos_local)[None, :]) \
+                & jnp.logical_not(
+                    (nid_all[:, None, :] == idxT_full[None]).any(1))
             for t in range(n_neg):
-                s_t = (offset + t * stride) % n
-                start = (r0 + s_t) % n
-                yk_t = jax.lax.dynamic_slice(ycat, (0, start),
-                                             (dim, m_rows))
+                start = (r0 + shifts[t]) % n
                 # partners are from the pre-repulsion snapshot for rows
                 # this device owns too (matches the single-chip path,
                 # which rolls the snapshot): ycat IS the snapshot.
-                nid = (r0 + pos_local + s_t) % n
-                reject = (nid == r0 + pos_local) \
-                    | (nid[None, :] == idxT_full).any(0)
-                d2s = jnp.sum(jnp.square(yiT - yk_t), 0,
-                              keepdims=True) / jnp.square(scale_iT)
-                coeff = _common_coeff(d2s, scale_iT, b)
-                rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
-                coeff_ik = jnp.minimum(gamma * coeff * rep, 2.0)
+                yk_t = jax.lax.dynamic_slice(ycat, (0, start),
+                                             (dim, m_rows))
                 nw_t = jax.lax.dynamic_slice(nwcat, (start,),
                                              (m_rows,))[None, :]
-                coeff_ik = coeff_ik * nw_t
-                ok = (d2s > 0.0) & jnp.logical_not(reject)[None, :]
-                coeff_ik = jnp.where(ok, coeff_ik, 0.0)
-                yiT = yiT + (yiT - yk_t) * coeff_ik
+                yiT = _repulsion_kick_T(yiT, yk_t, scale_iT, gamma, b,
+                                        ok_all[t][None, :], nw_t)
             return gather_rows(yiT), None
 
         # the carry becomes device-varying after the first all_gather;
@@ -439,7 +435,8 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     n, k = g.indices.shape
     ndev = mesh.devices.size
     n_groups = _auto_groups(k)
-    nb = nb_grad_batch or p.nb_grad_batch
+    # (an explicit 0 means "no optimization", not "use the default")
+    nb = p.nb_grad_batch if nb_grad_batch is None else nb_grad_batch
     n_sub = p.n_sub
     n_neg = max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge * k / n_sub))
 
@@ -505,14 +502,23 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
             jax.device_put(jnp.ones((y0_r.shape[0],), jnp.float32)
                            if neg_weight is None else neg_weight, rep))
 
-    step_fn = make_sharded_dense_segment(
-        mesh, b=float(p.b), n_sub=n_sub, n_neg=n_neg, nb_grad_batch=nb,
-        n_groups=n_groups, grad_step_init=float(p.grad_step),
-        f_min=float(p.dense_f_min), mask_p=float(p.dense_mask_p),
-        seg_steps=seg)
+    def make_step(seg_steps):
+        return make_sharded_dense_segment(
+            mesh, b=float(p.b), n_sub=n_sub, n_neg=n_neg,
+            nb_grad_batch=nb, n_groups=n_groups,
+            grad_step_init=float(p.grad_step),
+            f_min=float(p.dense_f_min), mask_p=float(p.dense_mask_p),
+            seg_steps=seg_steps)
+
+    step_fn = make_step(seg)
     y = jax.device_put(y0_r, rep)
     seg_keys = jax.random.split(key, n_segs)
     for si in range(n_segs):
-        keys = jax.random.split(seg_keys[si], seg)
-        y = step_fn(y, *args, keys, jnp.int32(si * seg))
+        # last segment runs only the remaining steps (one extra
+        # compile) — padding to seg would burn zero-gamma no-op sweeps
+        # at full device cost, same fix as dense_optimize
+        seg_steps = min(seg, total_steps - si * seg)
+        fn = step_fn if seg_steps == seg else make_step(seg_steps)
+        keys = jax.random.split(seg_keys[si], seg_steps)
+        y = fn(y, *args, keys, jnp.int32(si * seg))
     return y[:n][inv]
