@@ -324,15 +324,18 @@ def optimize(y0: jnp.ndarray, es: EdgeSet, key: jax.Array,
         return y0
     seg = min(total_steps, MAX_STEPS_PER_PROGRAM)
     n_segs = -(-total_steps // seg)
-    keys = jax.random.split(key, n_segs * seg)
+    keys = jax.random.split(key, total_steps)
     y = y0
     for s in range(n_segs):
-        # trailing segment steps beyond total run with gamma <= 0 and
-        # are harmless; keep shapes static instead of slicing ragged.
-        # _optimize_segment is module-level jitted — calling it directly
-        # keeps one compile cache across optimize() invocations.
+        # the last segment runs only the remaining steps (one extra
+        # compile for the remainder shape) — padding it to seg would
+        # execute zero-gamma no-op steps at full sample+gather+scatter
+        # cost.  _optimize_segment is module-level jitted — calling it
+        # directly keeps one compile cache across optimize()
+        # invocations.
+        s1 = min((s + 1) * seg, total_steps)
         y = _optimize_segment(
-            y, es, keys[s * seg:(s + 1) * seg],
+            y, es, keys[s * seg:s1],
             jnp.int32(s * seg), grad_step_init=grad_step_init, b=b,
             batch_size=batch_size, steps_per_batch=steps_per_batch,
             nb_grad_batch=nb_grad_batch, collision_mode=collision_mode)
