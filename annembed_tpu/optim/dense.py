@@ -588,20 +588,19 @@ def _auto_groups(k: int) -> int:
     return 1
 
 
-def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
-                           params: EmbedderParams,
-                           n_sub: int = 60,
-                           n_groups: int = 0,
-                           neg_weights=None) -> Tuple[jnp.ndarray, dict]:
-    """Driver with the reference's parameter semantics.
+def prepare_dense_inputs(y0, g: KGraph, npar: NodeParams,
+                         params: EmbedderParams, n_sub: int,
+                         n_groups: int, neg_weights=None):
+    """Relabel-once prologue shared by the single-chip driver and
+    parallel/sharded.py::sharded_dense_optimize (it was a verbatim
+    copy there): one global random permutation (uniform rolled-pool
+    negatives even on class-sorted input), per-visit multiplicities,
+    reverse-edge weights, clamped hubness importance weights.
 
-    Nodes are relabeled by one global random permutation so the rolled
-    identity-pool negative sampler sees uniformly random negatives even
-    if the input rows are ordered (e.g. sorted by class); the output is
-    returned in the original order."""
+    Returns (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit,
+    emb_scale, neg_weight, n_neg, key, inv); ``inv`` maps positions
+    back to the original row order."""
     n, k = g.indices.shape
-    if n_groups <= 0:
-        n_groups = _auto_groups(k)
     key = jax.random.PRNGKey(params.seed)
     key, k_relabel = jax.random.split(key)
     relabel = jax.random.permutation(k_relabel, n)   # position -> old id
@@ -626,6 +625,27 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
         nw = jnp.asarray(neg_weights, jnp.float32)[relabel]
         nw = nw / jnp.maximum(jnp.mean(nw), 1e-30)
         neg_weight = jnp.clip(nw, 0.25, 4.0)
+    return (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit, emb_scale,
+            neg_weight, n_neg, key, inv)
+
+
+def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
+                           params: EmbedderParams,
+                           n_sub: int = 60,
+                           n_groups: int = 0,
+                           neg_weights=None) -> Tuple[jnp.ndarray, dict]:
+    """Driver with the reference's parameter semantics.
+
+    Nodes are relabeled by one global random permutation so the rolled
+    identity-pool negative sampler sees uniformly random negatives even
+    if the input rows are ordered (e.g. sorted by class); the output is
+    returned in the original order."""
+    n, k = g.indices.shape
+    if n_groups <= 0:
+        n_groups = _auto_groups(k)
+    (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit, emb_scale,
+     neg_weight, n_neg, key, inv) = prepare_dense_inputs(
+        y0, g, npar, params, n_sub, n_groups, neg_weights)
     y_r = dense_optimize(y0_r, indices_r, w, m_visit,
                          w_rev, m_rev_visit, emb_scale, key,
                          neg_weight,

@@ -427,9 +427,8 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     Ragged n is padded to a multiple of the mesh size with inert rows
     (zero edge weight/multiplicity); the output drops them."""
     import numpy as _np
-    from ..optim.dense import (reverse_edge_info, _segment_cap,
-                               _auto_groups)
-    from ..optim.ce import embedded_scales_from_initial
+    from ..optim.dense import (_segment_cap, _auto_groups,
+                               prepare_dense_inputs)
 
     p = params
     n, k = g.indices.shape
@@ -438,26 +437,12 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     # (an explicit 0 means "no optimization", not "use the default")
     nb = p.nb_grad_batch if nb_grad_batch is None else nb_grad_batch
     n_sub = p.n_sub
-    n_neg = max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge * k / n_sub))
 
-    key = jax.random.PRNGKey(p.seed)
-    key, k_relabel = jax.random.split(key)
-    relabel = jax.random.permutation(k_relabel, n)
-    inv = jnp.argsort(relabel)
-    indices_r = inv[g.indices[relabel]].astype(jnp.int32)
-    w = npar.probas.astype(jnp.float32)[relabel]
-    emb_scale = embedded_scales_from_initial(npar.scale)[relabel]
-    y0_r = jnp.asarray(y0, jnp.float32)[relabel]
-
-    m_visit = p.nb_sampling_by_edge * k * w * n_groups / n_sub
-    w_rev = reverse_edge_info(indices_r, w)
-    m_rev = p.nb_sampling_by_edge * k * w_rev * n_groups / n_sub
-
-    neg_weight = None
-    if neg_weights is not None:
-        nw = jnp.asarray(neg_weights, jnp.float32)[relabel]
-        nw = nw / jnp.maximum(jnp.mean(nw), 1e-30)
-        neg_weight = jnp.clip(nw, 0.25, 4.0)
+    # shared relabel/multiplicity prologue — SAME seed stream as the
+    # single-chip driver, so the two paths stay in lockstep
+    (y0_r, indices_r, w, m_visit, w_rev, m_rev, emb_scale, neg_weight,
+     n_neg, key, inv) = prepare_dense_inputs(
+        y0, g, npar, p, n_sub, n_groups, neg_weights)
 
     # pad to a multiple of the mesh size with inert rows
     pad = (-n) % ndev
