@@ -85,6 +85,13 @@ def kruskal_mst(g: KGraph, use_native: bool = True) -> np.ndarray:
     idx = np.asarray(g.indices)
     dist = np.asarray(g.dists)
     n, k = idx.shape
+    # fail loudly on corrupt ids (stale checkpoint): the numpy path
+    # would silently WRAP negative ids, the native path rejects with
+    # rc=2 — make both surfaces one clear error
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        raise ValueError(
+            f"kNN graph has out-of-range neighbour ids "
+            f"[{idx.min()}, {idx.max()}] for n={n} — corrupt graph?")
     lib = _native_mst_lib() if use_native else None
     if lib is not None:
         import ctypes
@@ -223,14 +230,24 @@ def boruvka_mst(g: KGraph) -> np.ndarray:
 def mutual_reachability(g: KGraph, min_samples: int) -> KGraph:
     """KGraph with mutual-reachability weights
     d_mreach(i,j) = max(core_i, core_j, d(i,j)), where core_i is the
-    distance to i's ``min_samples``-th neighbour (HDBSCAN* def. 2).
+    distance to i's ``min_samples``-th nearest neighbour COUNTING i
+    ITSELF (HDBSCAN* def. 2 / Campello et al. include the object;
+    sklearn's min_samples follows the same convention).  The kNN graph
+    here EXCLUDES self, so the column is min_samples - 2 (min_samples
+    == 1 means the point itself: core 0); using min_samples - 1 made
+    the effective min_samples one larger than requested and diverged
+    from sklearn at identical parameters (ARI 0.47 on a leaf-method
+    fixture vs 0.996 with the correct column).
     Elementwise max on device, then a per-row re-sort: the neighbour
     cores can reorder rows arbitrarily, and KGraph's contract requires
     ascending dists."""
     import jax.numpy as jnp
-    if not 1 <= min_samples <= g.nbng:
-        raise ValueError(f"min_samples must be in [1, {g.nbng}]")
-    core = g.dists[:, min_samples - 1]
+    if not 1 <= min_samples <= g.nbng + 1:
+        raise ValueError(f"min_samples must be in [1, {g.nbng + 1}]")
+    if min_samples == 1:
+        core = jnp.zeros((g.nb_nodes,), g.dists.dtype)
+    else:
+        core = g.dists[:, min_samples - 2]
     d = jnp.maximum(g.dists, jnp.maximum(core[:, None], core[g.indices]))
     order = jnp.argsort(d, axis=1)
     return KGraph(indices=jnp.take_along_axis(g.indices, order, 1),
@@ -325,7 +342,10 @@ def condensed_tree(dend: Dendrogram, min_cluster_size: int = 5,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ctypes.byref(out_r))
         if rc == 0:
-            return rows[:out_r.value]
+            # copy: the slice view would pin the whole (n+2m+2, 4)
+            # scratch buffer (~3x the result, ~1 GB at 11M) for the
+            # lifetime of the HdbscanResult
+            return rows[:out_r.value].copy()
 
     def node_size(v: int) -> int:
         return 1 if v < n else int(dend.linkage[v - n, 3])

@@ -57,6 +57,17 @@ int32_t annembed_kruskal(const int32_t* idx, const float* dist, int64_t n,
     return 0;
   }
   const int64_t e = n * k;
+  // validate neighbour ids: an out-of-range id (stale/corrupt
+  // checkpoint) would index UnionFind storage out of bounds — OOB
+  // reads plus path-halving OOB WRITES — and silently return a
+  // plausible-looking MST; fail with rc=2 instead (the Python wrapper
+  // falls back to the checked numpy path, which raises)
+  for (int64_t i = 0; i < e; ++i) {
+    if (idx[i] < 0 || idx[i] >= n) {
+      *out_m = 0;
+      return 2;
+    }
+  }
   std::vector<int64_t> order(e);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(), [dist](int64_t a, int64_t b) {

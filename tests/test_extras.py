@@ -322,7 +322,10 @@ def test_mutual_reachability_floor(rng):
     x = rng.normal(size=(50, 3)).astype(np.float32)
     g = graph_of(x, k=8)
     gm = mutual_reachability(g, min_samples=5)
-    core = np.asarray(g.dists)[:, 4]
+    # core = distance to the 5th nearest neighbour COUNTING self
+    # (HDBSCAN*/sklearn convention) = column 3 of the self-excluding
+    # graph
+    core = np.asarray(g.dists)[:, 3]
     d = np.asarray(gm.dists)
     gi = np.asarray(gm.indices)
     # rows re-sorted ascending (KGraph contract)
@@ -423,7 +426,9 @@ def test_hdbscan_matches_sklearn_on_complete_graph(rng):
     x = np.concatenate([m0, m1]).astype(np.float32)
     sk = sk_cluster.HDBSCAN(min_cluster_size=20, min_samples=10).fit(x)
     res = hdbscan(graph_of(x, k=299), min_cluster_size=20, min_samples=10)
-    assert adjusted_rand_score(sk.labels_, res.labels) >= 0.9
+    # near-exact since the core-distance convention matches sklearn's
+    # self-inclusive min_samples (was 0.9 under the off-by-one)
+    assert adjusted_rand_score(sk.labels_, res.labels) >= 0.97
 
 
 def test_cluster_selection_epsilon_and_leaf(rng):
