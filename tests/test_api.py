@@ -125,3 +125,26 @@ def test_embed_params_not_mutated_and_sampled_csv_alignment(tmp_path, rng):
     matched_rows = dists.argmin(1)
     assert (dists.min(1) < 1e-4).all()
     assert not np.array_equal(matched_rows, np.arange(m))
+
+
+def test_embed_crash_resume_caches(tmp_path, rng):
+    """The 11M harness's crash-resume contract: an eager graph cache is
+    written right after the build, the embedding checkpoint right
+    after optimize; a second call resumes from BOTH (same results),
+    and a stale embed cache from a different run errors loudly."""
+    x = blobs(rng, n_per=50)
+    gc = tmp_path / "gcache"
+    ec = tmp_path / "ecache"
+    y1, info1 = at.embed(x, dim=2, batch=4, nbng=6,
+                         graph_cache=str(gc), graph_cache_eager=True,
+                         embed_cache=str(ec))
+    assert gc.exists() and ec.exists()
+    # resume: loads both caches; embedding identical (it IS the cache)
+    y2, info2 = at.embed(x, dim=2, batch=4, nbng=6,
+                         graph_cache=str(gc), graph_cache_eager=True,
+                         embed_cache=str(ec))
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
+    # stale cache (wrong n) rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="stale|shape"):
+        at.embed(x[:100], dim=2, batch=4, nbng=6, embed_cache=str(ec))
