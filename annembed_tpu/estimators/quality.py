@@ -129,8 +129,13 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         lengths = _edge_lengths_rows(y_rows, y, g.indices[sub])  # (m, k)
         # exact embedded radius: (nbng+1)-NN search against the full
         # cloud includes self at distance 0, so column nbng is the
-        # nbng-th true neighbour distance
-        _, sd = knn_search_brute(y_rows, y, k=nbng + 1)
+        # nbng-th true neighbour distance.  A caller-tuned topk_recall
+        # switches candidate selection to ApproxTopK (+ exact rerank) —
+        # the sort-based top-k dominates this phase's wall at 11M; the
+        # radius then carries the (tiny) residual candidate-miss
+        # probability, 0 = fully exact (default)
+        tr = knn_params.topk_recall if knn_params is not None else 0.0
+        _, sd = knn_search_brute(y_rows, y, k=nbng + 1, topk_recall=tr)
         radius = sd[:, nbng]
     else:
         m = n

@@ -130,9 +130,10 @@ def knn_graph_brute(x, k: int, distance: str = "DistL2",
 
 
 @functools.partial(jax.jit, static_argnames=("k", "distance", "block_rows",
-                                             "dtype_name"))
+                                             "dtype_name",
+                                             "topk_recall"))
 def _search_impl(queries, corpus, valid_n, k, distance, block_rows,
-                 dtype_name):
+                 dtype_name, topk_recall: float = 0.0):
     """``valid_n`` is a TRACED scalar: the number of real corpus rows.
     The chunked caller pads its last chunk to the fixed chunk width so
     every chunk reuses one compiled program; columns >= valid_n are
@@ -152,7 +153,7 @@ def _search_impl(queries, corpus, valid_n, k, distance, block_rows,
 
     def one_block(q):
         return _block_topk(q, corpus, x_sq, k, kk, panel_fn, dtype,
-                           rerank, 0.0, valid_n=valid_n)
+                           rerank, topk_recall, valid_n=valid_n)
 
     idx, dists = jax.lax.map(one_block, q_blocks)
     idx = idx.reshape(n_blocks * block_rows, -1)[:nq, :k]
@@ -173,7 +174,8 @@ def _merge_topk_sorted(d_a, i_a, d_b, i_b):
 
 def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
                      block_rows: int = 1024, dtype: str = "float32",
-                     corpus_chunk: int = 2_000_000):
+                     corpus_chunk: int = 2_000_000,
+                     topk_recall: float = 0.0):
     """k nearest corpus points for each query (no self-exclusion).
 
     Replaces ``hnsw.search`` (used e.g. by the quality estimator,
@@ -183,6 +185,12 @@ def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
     Corpora beyond ``corpus_chunk`` rows are processed in chunks with a
     running top-k merge: one (block_rows, n) panel at 11M rows is a
     45 GB buffer the compiler rightly refuses.
+
+    ``topk_recall`` > 0 selects candidates with the TPU ApproxTopK
+    reduction at that per-candidate recall target (the sort-based
+    exact top-k is ~70% of the panel wall, PERF.md roofline study);
+    DistL2 results are still exact-reranked, so final-list recall
+    stays well above the target.  0 = exact.
     """
     n = corpus.shape[0]
     if k > n:
@@ -201,7 +209,7 @@ def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
     corpus = jnp.asarray(corpus)
     if n <= corpus_chunk:
         return _search_impl(queries, corpus, jnp.int32(n), k, distance,
-                            block_rows, dtype)
+                            block_rows, dtype, topk_recall)
     best_d = best_i = None
     for c0 in range(0, n, corpus_chunk):
         c1 = min(c0 + corpus_chunk, n)
@@ -211,7 +219,7 @@ def knn_search_brute(queries, corpus, k: int, distance: str = "DistL2",
             # the compiled program (pad columns are masked by valid_n)
             chunk = jnp.pad(chunk, ((0, corpus_chunk - (c1 - c0)), (0, 0)))
         ci, cd = _search_impl(queries, chunk, jnp.int32(c1 - c0), k,
-                              distance, block_rows, dtype)
+                              distance, block_rows, dtype, topk_recall)
         cd.block_until_ready()       # serialize chunk workspaces
         ci = ci + c0
         if best_d is None:

@@ -186,3 +186,17 @@ def test_recall_at_k_duplicates_count_once():
     approx = jnp.asarray(np.array([[1, 1, 1], [4, 5, 6]], np.int32))
     # row 0: only id 1 recovered (1/3); row 1: all (3/3) -> 4/6
     assert abs(recall_at_k(approx, exact) - 4 / 6) < 1e-9
+
+
+def test_search_topk_recall_parity_on_cpu(rng):
+    """knn_search_brute honors topk_recall end-to-end; on CPU the
+    ApproxTopK lowering is exact, so results match the exact path —
+    including across the chunked merge."""
+    corpus = rng.normal(size=(300, 6)).astype(np.float32)
+    queries = rng.normal(size=(25, 6)).astype(np.float32)
+    i1, d1 = knn_search_brute(queries, corpus, k=7)
+    i2, d2 = knn_search_brute(queries, corpus, k=7, topk_recall=0.95)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    i3, _ = knn_search_brute(queries, corpus, k=7, topk_recall=0.95,
+                             corpus_chunk=120)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
