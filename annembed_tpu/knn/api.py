@@ -42,7 +42,8 @@ def build_kgraph(x, knbn: int, distance: str = "DistL2",
                                   nlist=params.nlist, nprobe=params.nprobe,
                                   dtype=params.dtype,
                                   topk_recall=params.topk_recall,
-                                  quantizer=params.quantizer)
+                                  quantizer=params.quantizer,
+                                  layout=params.ivf_layout)
         if params.refine_rounds > 0:
             from .nndescent import nndescent_refine
             idx, dist = nndescent_refine(x, idx, dist,

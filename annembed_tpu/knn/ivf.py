@@ -124,6 +124,110 @@ def _ivf_tables_impl(cells, nlist: int, cap: int, qcap: int,
     return virt_table, virt_parent, cand_table, jnp.sum(nvirt)
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "qcap", "v_static"))
+def _ivf_rowplan_impl(cells, nlist: int, qcap: int, v_static: int):
+    """Row plan for the CELL-SORTED join layout: instead of member/
+    candidate id tables (whose per-row corpus gathers bound the join at
+    0.01%% MFU — PERF.md roofline), the corpus is physically reordered
+    by cell id once, after which every virtual query row and every
+    candidate list is a CONTIGUOUS window of the sorted corpus.
+
+    Returns (order (n,) sorted-pos -> original id, starts (nlist,),
+    counts (nlist,), virt_parent (v_static,), qstarts (v_static,),
+    v_used): virtual row r covers sorted positions
+    [qstarts[r], qstarts[r] + qcap) of its parent cell (the trailing
+    partial window is masked by the cell end, not padded)."""
+    counts = jnp.bincount(cells, length=nlist).astype(jnp.int32)
+    order = jnp.argsort(cells).astype(jnp.int32)            # stable
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    nvirt = jnp.maximum(1, -(-counts // qcap))
+    vstarts = jnp.concatenate([jnp.zeros((1,), nvirt.dtype),
+                               jnp.cumsum(nvirt)[:-1]])
+    marks = jnp.zeros((v_static,), jnp.int32).at[
+        vstarts[1:].astype(jnp.int32)].add(1, mode="drop")
+    virt_parent = jnp.cumsum(marks).astype(jnp.int32)
+    r = jnp.arange(v_static, dtype=jnp.int32)
+    qstarts = (starts[virt_parent]
+               + (r - vstarts[virt_parent].astype(jnp.int32)) * qcap)
+    return order, starts, counts, virt_parent, qstarts, jnp.sum(nvirt)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qcap", "cap", "n_real",
+                                             "dtype_name", "distance",
+                                             "topk_recall"))
+def _ivf_join_sorted(xs_pad, qstarts, qparents, starts, counts, cell_nbrs,
+                     k: int, qcap: int, cap: int, n_real: int,
+                     dtype_name: str, distance: str = "DistL2",
+                     topk_recall: float = 0.0):
+    """Cell-sorted local join: gather-free except the tiny per-row
+    bookkeeping.  ``xs_pad`` is the corpus REORDERED by cell id (plus
+    zero pad rows up to max(n+1, cap, qcap)); queries are one
+    ``dynamic_slice`` per virtual row, the nprobe candidate lists are
+    nprobe contiguous (cap, d) block slices, and the L2 exact rerank
+    reads from the in-register candidate block instead of the corpus.
+    Replaces the per-row ``x_pad[cand]`` gather of ``_ivf_join``
+    (nprobe*cap random corpus rows per virtual row, the measured
+    bottleneck of the 11M graph build).
+
+    ``starts``/``counts`` may carry one extra sentinel cell (count 0)
+    for the grid quantizer's out-of-range probe id.  Returns
+    (members, idx, dist) with members/idx in SORTED-position space
+    (invalid members = n_real, the caller's drop row)."""
+    from .distances import get_panel_fn
+    n_rows, dfeat = xs_pad.shape
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    panel_fn = get_panel_fn(distance)
+    iota_q = jnp.arange(qcap, dtype=jnp.int32)
+    iota_c = jnp.arange(cap, dtype=jnp.int32)
+
+    def one_row(args):
+        qs, parent = args                          # (), ()
+        qs_c = jnp.clip(qs, 0, n_rows - qcap)
+        q = jax.lax.dynamic_slice(xs_pad, (qs_c, 0), (qcap, dfeat))
+        qpos = qs_c + iota_q                       # (qcap,)
+        qend = starts[parent] + jnp.minimum(counts[parent],
+                                            jnp.int32(n_real))
+        qvalid = (qpos >= qs) & (qpos < qend) & (qpos < n_real)
+        nbrs = cell_nbrs[parent]                   # (nprobe,)
+        cs = starts[nbrs]                          # (nprobe,)
+        cc = jnp.minimum(counts[nbrs], cap)
+        cs_c = jnp.clip(cs, 0, n_rows - cap)
+        xc = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            xs_pad, (s, 0), (cap, dfeat)))(cs_c)   # (nprobe, cap, d)
+        cpos = (cs_c[:, None] + iota_c[None, :]).reshape(-1)
+        cvalid = ((cpos >= jnp.repeat(cs, cap))
+                  & (cpos < jnp.repeat(cs + cc, cap)))
+        xc = xc.reshape(-1, dfeat)                 # (nprobe*cap, d)
+        dist = panel_fn(q, xc, dtype=dtype)        # (qcap, nprobe*cap)
+        invalid = ((~cvalid)[None, :]
+                   | (cpos[None, :] == qpos[:, None])
+                   | (~qvalid)[:, None])
+        dist = jnp.where(invalid, jnp.inf, dist)
+        if topk_recall > 0.0:
+            neg_d, pos = jax.lax.approx_max_k(
+                -dist, k, recall_target=topk_recall,
+                aggregate_to_topk=True)
+        else:
+            neg_d, pos = jax.lax.top_k(-dist, k)
+        idx = cpos[pos]                            # (qcap, k) sorted pos
+        out_d = -neg_d
+        if distance == "DistL2":
+            # exact rerank (see _ivf_join) — from the small candidate
+            # block already on hand, not the full corpus
+            xc_sel = xc[pos]                       # (qcap, k, d)
+            d_ex = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(
+                q[:, None, :] - xc_sel), -1), 0.0))
+            out_d = jnp.where(jnp.isinf(out_d), jnp.inf, d_ex)
+            o = jnp.argsort(out_d, axis=1)
+            out_d = jnp.take_along_axis(out_d, o, axis=1)
+            idx = jnp.take_along_axis(idx, o, axis=1)
+        members = jnp.where(qvalid, qpos, jnp.int32(n_real))
+        return members, idx.astype(jnp.int32), out_d
+
+    return jax.lax.map(one_row, (qstarts, qparents))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "dtype_name",
                                              "distance", "topk_recall"))
 def _ivf_join(x_pad, virt_table, virt_parent, cand_table, cell_nbrs,
@@ -331,7 +435,7 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
                   nprobe: int = 32, dtype: str = "float32",
                   kmeans_iter: int = 10, seed: int = 0,
                   sample_size: int = 500_000, topk_recall: float = 0.0,
-                  quantizer: str = "kmeans"):
+                  quantizer: str = "kmeans", layout: str = "sorted"):
     """Approximate kNN graph via IVF local join.  Returns (idx, dist).
 
     All five reference metrics are served (bin/embed.rs:546-565): the
@@ -343,6 +447,12 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
 
     ``quantizer="grid"`` (d <= 3) replaces the k-means cells with an
     equal-mass grid + block probes — see ``_quantize_cells``.
+
+    ``layout="sorted"`` (default) physically reorders the corpus by
+    cell id once so the join reads queries and candidates as contiguous
+    slices (bit-identical results to ``layout="gathered"``, the
+    id-table formulation whose per-row corpus gathers were the measured
+    join bottleneck — PERF.md roofline).
     """
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
@@ -356,6 +466,13 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
     cells, cell_nbrs, nlist, cap, qcap, pad_cell = _quantize_cells(
         xq, k, nlist, nprobe, quantizer, seed, sample_size, kmeans_iter)
     nprobe = cell_nbrs.shape[1]
+
+    if layout == "sorted":
+        return _knn_graph_ivf_sorted(x, cells, cell_nbrs, pad_cell, n, d,
+                                     k, nlist, cap, qcap, dtype, distance,
+                                     topk_recall)
+    if layout != "gathered":
+        raise ValueError(f"unknown IVF layout {layout!r}")
 
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
@@ -408,6 +525,69 @@ def knn_graph_ivf(x, k: int, distance: str = "DistL2", nlist: int = 0,
         # (~1 GB each) sum past HBM at 11M points
         dist.block_until_ready()
     return _fixup_underfilled(idx[:n], jnp.maximum(dist[:n], 0.0), n)
+
+
+def _knn_graph_ivf_sorted(x, cells, cell_nbrs, pad_cell: bool, n: int,
+                          d: int, k: int, nlist: int, cap: int, qcap: int,
+                          dtype: str, distance: str, topk_recall: float,
+                          join_call=None, slab_round: int = 1):
+    """Slab driver for the cell-sorted join layout (see
+    ``_ivf_join_sorted``).  Same slab/memory discipline as the gathered
+    path: bounded virtual-row slabs, immediate scatter into the (n+1, k)
+    output, per-slab sync.  The join runs entirely in sorted-position
+    space; one final relabeling pass returns original ids/rows.
+
+    ``join_call(xs_pad, qt, qp, starts, counts) -> (members, idx, dist)``
+    lets parallel/sharded_knn.py substitute a shard_map'd join (virtual
+    rows sharded over the mesh, tables replicated); ``slab_round`` keeps
+    slab sizes a multiple of the mesh size."""
+    import os
+    v_static = nlist + n // qcap
+    order32, starts, counts, virt_parent, qstarts, v_used = \
+        _ivf_rowplan_impl(cells, nlist, qcap, v_static)
+    if pad_cell:
+        # sentinel probe id nlist -> empty cell (count 0)
+        starts = jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
+        counts = jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)])
+
+    xs = x[order32]                                # one-time reorder
+    n_rows = max(n + 1, cap, qcap)
+    xs_pad = jnp.concatenate(
+        [xs, jnp.zeros((n_rows - n, d), x.dtype)], axis=0)
+    if join_call is None:
+        def join_call(xp, qt, qp, st, ct):
+            return _ivf_join_sorted(xp, qt, qp, st, ct, cell_nbrs, k,
+                                    qcap, cap, n, dtype, distance,
+                                    topk_recall)
+
+    v_total = int(v_used)                          # documented readback
+    nprobe = cell_nbrs.shape[1]
+    slab_budget = int(os.environ.get("ANNEMBED_IVF_SLAB_CANDROWS",
+                                     20_000_000))
+    rows_per_slab = min(max(8, slab_budget // max(cap * nprobe, 1)),
+                        max(v_total, 1))
+    rows_per_slab = -(-rows_per_slab // slab_round) * slab_round
+    idx = jnp.zeros((n + 1, k), jnp.int32)
+    dist = jnp.zeros((n + 1, k), jnp.float32)
+    for s0 in range(0, v_total, rows_per_slab):
+        s1 = min(s0 + rows_per_slab, v_total)
+        pad_r = rows_per_slab - (s1 - s0)
+        # pad rows: qstart = n_rows makes every query position invalid
+        qt = jnp.pad(qstarts[s0:s1], (0, pad_r), constant_values=n_rows)
+        qp = jnp.pad(virt_parent[s0:s1], (0, pad_r))
+        members, it, dt = join_call(xs_pad, qt, qp, starts, counts)
+        idx = idx.at[members.reshape(-1)].set(it.reshape(-1, k),
+                                              mode="drop")
+        dist = dist.at[members.reshape(-1)].set(dt.reshape(-1, k),
+                                                mode="drop")
+        dist.block_until_ready()                  # serialize slabs
+    idx_s, dist_s = _fixup_underfilled(
+        idx[:n], jnp.maximum(dist[:n], 0.0), n)
+    # sorted-position space -> original labels: row r holds point
+    # order32[r]; neighbour values are sorted positions
+    idx_o = jnp.zeros_like(idx_s).at[order32].set(order32[idx_s])
+    dist_o = jnp.zeros_like(dist_s).at[order32].set(dist_s)
+    return idx_o, dist_o
 
 
 def _fixup_underfilled(idx, dist, n: int):

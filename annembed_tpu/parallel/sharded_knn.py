@@ -111,14 +111,18 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
                           dtype: str = "float32", kmeans_iter: int = 10,
                           seed: int = 0, sample_size: int = 500_000,
                           topk_recall: float = 0.0,
-                          quantizer: str = "kmeans"):
+                          quantizer: str = "kmeans",
+                          layout: str = "sorted"):
     """IVF local join with the virtual query rows sharded over the
     mesh.  Quantizer fit, cell assignment and table construction reuse
     the single-chip code with the same seeds (they are a small fraction
     of the build), so the output graph is identical to
-    knn/ivf.py::knn_graph_ivf."""
-    from ..knn.ivf import (_ivf_tables_impl, _ivf_join,
-                           _fixup_underfilled, _quantize_cells)
+    knn/ivf.py::knn_graph_ivf.  Both join layouts are served: "sorted"
+    (cell-contiguous slices, the production default) and "gathered"
+    (id tables)."""
+    from ..knn.ivf import (_ivf_tables_impl, _ivf_join, _ivf_join_sorted,
+                           _fixup_underfilled, _quantize_cells,
+                           _knn_graph_ivf_sorted)
 
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
@@ -132,6 +136,27 @@ def sharded_knn_graph_ivf(x, k: int, mesh: Mesh, distance: str = "DistL2",
     cells, cell_nbrs, nlist, cap, qcap, pad_cell = _quantize_cells(
         xq, k, nlist, nprobe, quantizer, seed, sample_size, kmeans_iter)
     nprobe = cell_nbrs.shape[1]
+
+    if layout == "sorted":
+        def local(xp, qt, qp, st, ct, cn):
+            return _ivf_join_sorted(xp, qt, qp, st, ct, cn, k, qcap,
+                                    cap, n, dtype, distance, topk_recall)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P("data", None), P("data", None, None),
+                       P("data", None, None))))
+
+        def join_call(xp, qt, qp, st, ct):
+            return fn(xp, qt, qp, st, ct, cell_nbrs)
+
+        return _knn_graph_ivf_sorted(
+            x, cells, cell_nbrs, pad_cell, n, d, k, nlist, cap, qcap,
+            dtype, distance, topk_recall, join_call=join_call,
+            slab_round=ndev)
+    if layout != "gathered":
+        raise ValueError(f"unknown IVF layout {layout!r}")
 
     v_static = nlist + n // qcap
     virt_table, virt_parent, cand_table, v_used = _ivf_tables_impl(
@@ -293,7 +318,7 @@ def sharded_build_kgraph(x, knbn: int, mesh: Mesh,
             x, kb, mesh, distance=distance, nlist=params.nlist,
             nprobe=params.nprobe, dtype=params.dtype,
             topk_recall=params.topk_recall,
-            quantizer=params.quantizer)
+            quantizer=params.quantizer, layout=params.ivf_layout)
         if params.refine_rounds > 0:
             idx, dist = sharded_nndescent_refine(
                 x, idx, dist, mesh, n_rounds=params.refine_rounds,

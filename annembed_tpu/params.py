@@ -249,6 +249,11 @@ class KnnParams:
     #: join; 0.4-0.6 with one extra round gives the same recall for
     #: roughly half the build time at 11M (PERF.md round 3).
     nndescent_rho: float = 1.0
+    #: IVF join memory layout: "sorted" (corpus reordered by cell once;
+    #: queries/candidates are contiguous slices — removes the per-row
+    #: corpus gathers that bound the join) or "gathered" (id-table
+    #: formulation).  Bit-identical results (tests/test_ivf.py).
+    ivf_layout: str = "sorted"
     #: IVF coarse quantizer: "kmeans" (any d) or "grid" (d <= 3 only;
     #: equal-mass grid cells + (2r+1)^d block probes — ~9 probes
     #: replace ~24-32 nearest-centroid probes at equal recall on

@@ -258,3 +258,55 @@ def test_multi_slab_join_parity(rng, monkeypatch):
     i2, d2 = knn_graph_ivf(x, 6, nprobe=8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_sorted_layout_bit_parity_kmeans(rng):
+    """layout="sorted" (contiguous-slice join) must be BIT-identical to
+    layout="gathered" (id-table join): same stable cell order, same
+    candidate columns, same panel values, same top-k/rerank ties."""
+    centers = rng.normal(size=(12, 7)) * 8
+    x = (centers[rng.integers(0, 12, 3000)]
+         + rng.normal(size=(3000, 7))).astype(np.float32)
+    ig, dg = knn_graph_ivf(x, k=9, nlist=25, nprobe=6, layout="gathered")
+    is_, ds = knn_graph_ivf(x, k=9, nlist=25, nprobe=6, layout="sorted")
+    np.testing.assert_array_equal(np.asarray(ig), np.asarray(is_))
+    np.testing.assert_array_equal(np.asarray(dg), np.asarray(ds))
+
+
+def test_sorted_layout_bit_parity_overflow_and_metrics(rng):
+    """Parity must survive cells overflowing cap/qcap (virtual-row
+    splits + candidate truncation) and non-L2 panels (no rerank)."""
+    # one giant cluster -> its cell overflows any reasonable cap
+    x = np.concatenate([
+        rng.normal(size=(2500, 5)) * 0.05,
+        rng.normal(size=(500, 5)) + 6.0]).astype(np.float32)
+    for distance in ("DistL2", "DistCosine"):
+        ig, dg = knn_graph_ivf(np.abs(x) if distance != "DistL2" else x,
+                               k=5, nlist=9, nprobe=4,
+                               distance=distance, layout="gathered")
+        is_, ds = knn_graph_ivf(np.abs(x) if distance != "DistL2" else x,
+                                k=5, nlist=9, nprobe=4,
+                                distance=distance, layout="sorted")
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(is_))
+        np.testing.assert_array_equal(np.asarray(dg), np.asarray(ds))
+
+
+def test_sorted_layout_bit_parity_grid(rng):
+    """Grid quantizer (sentinel probe ids, pad candidate cell) through
+    the sorted layout."""
+    x = rng.normal(size=(4000, 2)).astype(np.float32)
+    ig, dg = knn_graph_ivf(x, k=6, quantizer="grid", layout="gathered")
+    is_, ds = knn_graph_ivf(x, k=6, quantizer="grid", layout="sorted")
+    np.testing.assert_array_equal(np.asarray(ig), np.asarray(is_))
+    np.testing.assert_array_equal(np.asarray(dg), np.asarray(ds))
+
+
+def test_sorted_layout_multi_slab_parity(rng, monkeypatch):
+    """Sorted-layout slab loop: a tiny slab budget (many slabs, padded
+    tail) must reproduce the single-slab result exactly."""
+    x = rng.normal(size=(2000, 6)).astype(np.float32)
+    i1, d1 = knn_graph_ivf(x, k=7, nlist=16, nprobe=5, layout="sorted")
+    monkeypatch.setenv("ANNEMBED_IVF_SLAB_CANDROWS", "40000")
+    i2, d2 = knn_graph_ivf(x, k=7, nlist=16, nprobe=5, layout="sorted")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

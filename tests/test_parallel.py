@@ -76,6 +76,15 @@ def test_sharded_ivf_join_parity(rng, mesh):
     i2, d2 = sharded_knn_graph_ivf(x, 6, mesh, nlist=24, nprobe=6)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+    # cross-layout: the sharded SORTED join must also equal the
+    # single-chip GATHERED (id-table) graph bit-for-bit
+    i3, d3 = knn_graph_ivf(x, 6, nlist=24, nprobe=6, layout="gathered")
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d3))
+    # and the sharded gathered layout stays available and identical
+    i4, d4 = sharded_knn_graph_ivf(x, 6, mesh, nlist=24, nprobe=6,
+                                   layout="gathered")
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(i1))
 
 
 @pytest.mark.slow
