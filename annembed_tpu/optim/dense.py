@@ -45,7 +45,11 @@ rejected negatives (self/edge/neighbour hits) are zeroed rather than
 resampled (embedder.rs:1244-1252 retries until 5 accepted), an O(k/n)
 repulsion deficit — negligible at production n; and hubness-weighted
 negatives use clamped importance weights instead of weighted draws
-(see _repulsion_sweep_rolledT).
+(see _repulsion_sweep_rolledT; the deviation is bounded on hub-heavy
+fixtures by tests/test_hubness_weighting.py: exact expectation parity
+when the clamp does not bind, <15%% field deviation at MNIST-like
+~20x hubs, clamped-mass-bounded and direction-preserving even at
+pathological ~1400x hubs).
 """
 
 from __future__ import annotations
