@@ -153,16 +153,6 @@ from annembed_tpu.knn.nndescent import nndescent_refine  # noqa: E402
 
 kb = 12  # build-k (knbn=6 x factor 2)
 nprobe = 16
-# warm pass first (compile excluded) so the MFU number is comparable
-# with the warmed brute/dense sections
-t0 = time.perf_counter()
-ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16")
-jax.block_until_ready(dd)
-w_cold = time.perf_counter() - t0
-t0 = time.perf_counter()
-ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16")
-jax.block_until_ready(dd)
-w_ivf = time.perf_counter() - t0
 # sizing from the SAME helper the build uses (knn/ivf.py::ivf_sizing)
 # so retuned heuristics cannot silently skew the FLOP accounting
 from annembed_tpu.knn.ivf import ivf_sizing  # noqa: E402
@@ -172,13 +162,28 @@ d2 = x2.shape[1]
 useful_flops = 2.0 * n2 * nprobe * cap * d2
 padded_rows = (nlist + n2 // qcap) * qcap        # upper bound w/o trim
 padded_flops = 2.0 * padded_rows * nprobe * cap * d2
-emit({"bench": "ivf_join", "n": n2, "wall_s": round(w_ivf, 1),
-      "cold_wall_s": round(w_cold, 1),
-      "nlist": nlist, "cap": cap, "nprobe": nprobe,
-      "useful_tflops": round(useful_flops / w_ivf / 1e12, 2),
-      "padded_tflops": round(padded_flops / w_ivf / 1e12, 2),
-      "mfu_vs_bf16_peak": round(useful_flops / w_ivf / PEAK_BF16, 4),
-      "note": "gather-dominated: candidate row gathers per panel"})
+# A/B the two join layouts: "gathered" = id tables + per-row corpus
+# gathers (the measured 0.01%-MFU bottleneck), "sorted" = cell-sorted
+# corpus + contiguous slices.  Results are bit-identical (test_ivf.py);
+# only the memory-access pattern differs.  Warm pass first (compile
+# excluded) so MFU numbers are comparable with the other sections.
+for layout in ("gathered", "sorted"):
+    t0 = time.perf_counter()
+    ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16",
+                           layout=layout)
+    jax.block_until_ready(dd)
+    w_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ii, dd = knn_graph_ivf(x2, kb, nprobe=nprobe, dtype="bfloat16",
+                           layout=layout)
+    jax.block_until_ready(dd)
+    w_ivf = time.perf_counter() - t0
+    emit({"bench": "ivf_join", "layout": layout, "n": n2,
+          "wall_s": round(w_ivf, 1), "cold_wall_s": round(w_cold, 1),
+          "nlist": nlist, "cap": cap, "nprobe": nprobe,
+          "useful_tflops": round(useful_flops / w_ivf / 1e12, 2),
+          "padded_tflops": round(padded_flops / w_ivf / 1e12, 2),
+          "mfu_vs_bf16_peak": round(useful_flops / w_ivf / PEAK_BF16, 4)})
 
 sub = np.sort(rng.choice(n2, 2000, replace=False)).astype(np.int32)
 eqi, _ = knn_search_brute(x2[sub], x2, k=kb + 1)
