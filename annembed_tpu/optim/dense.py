@@ -390,14 +390,16 @@ def reverse_edge_weights(indices, w):
                                              "nb_grad_batch", "n_groups",
                                              "scatter_free",
                                              "seg_steps", "f_min",
-                                             "mask_p"))
+                                             "mask_p", "batch0",
+                                             "use_rot0"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, step0=0,
                    seg_steps: int = 0, f_min: float = 1e-3,
-                   mask_p: float = 1.0):
+                   mask_p: float = 1.0, batch0: int = 0,
+                   rot0=0, use_rot0: bool = False):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -405,7 +407,14 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
     the (n, k) edge table (1/n_groups of the edges), round-robin, with
     per-visit multiplicity scaled by n_groups.  This keeps the
     per-sync-step displacement (the quality knob) while paying
-    1/n_groups of the gather + segment-sum cost per step."""
+    1/n_groups of the gather + segment-sum cost per step.
+
+    ``batch0``/``rot0`` support n_sub SCHEDULES (run_dense_optimization
+    with a phase list): ``step0`` counts steps within the phase, gamma
+    decays at batch ``batch0 + step//n_sub + 1`` of the GLOBAL
+    nb_grad_batch schedule, and ``rot0`` (the global sweep counter at
+    segment start, used when ``use_rot0``) keeps the column-group
+    round-robin continuous across phases with different n_sub."""
     n, k = indices.shape
     assert k % n_groups == 0, "k must be divisible by n_groups"
     kg = k // n_groups
@@ -421,10 +430,15 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
     keys = jax.random.split(key, seg_steps)
 
     def gamma_of(step_idx):
-        batch_idx = step_idx // n_sub + 1
+        batch_idx = batch0 + step_idx // n_sub + 1
         return jnp.maximum(
             grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
                               / nb_grad_batch), 0.0)
+
+    def rot_of(step_idx, local_idx):
+        # column-group rotation index: the global sweep counter when
+        # scheduled (phases may have different n_sub); step_idx else
+        return (rot0 + local_idx if use_rot0 else step_idx) % n_groups
 
     if scatter_free:
         # PRODUCTION path, transposed layout: all per-edge arrays with
@@ -464,8 +478,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                                             (kg, n)).astype(jnp.float32)
             else:
                 mask = None
-            yT = jax.lax.switch(step_idx % n_groups, branches_t, yT,
-                                gamma, mask)
+            yT = jax.lax.switch(rot_of(step_idx, local_idx), branches_t,
+                                yT, gamma, mask)
             offset = jax.random.randint(kk, (), 0, n)
             yT = yT + _repulsion_sweep_rolledT(yT, offset, idxT_full,
                                                scale_iT, gamma, b, n_neg,
@@ -517,7 +531,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                                         (n, kg)).astype(jnp.float32)
         else:
             mask = None
-        y = jax.lax.switch(step_idx % n_groups, branches, y, gamma, mask)
+        y = jax.lax.switch(rot_of(step_idx, local_idx), branches, y,
+                           gamma, mask)
 
         offset = jax.random.randint(kk, (), 0, n)
         d_neg = _repulsion_sweep_rolled(y, offset, indices, emb_scale,
@@ -552,12 +567,21 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    grad_step_init: float, b: float, n_sub: int,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, f_min: float = 1e-3,
-                   mask_p: float = 1.0):
+                   mask_p: float = 1.0, batch0: int = 0,
+                   batch1: int | None = None, rot_base: int | None = None):
+    """Run batches [batch0, batch1) of the global nb_grad_batch
+    schedule at this n_sub (defaults = the whole schedule).  Returns
+    the updated coordinates; ``rot_base`` (global sweep counter at
+    phase start) keeps column-group rotation continuous when phases
+    have different n_sub."""
+    if batch1 is None:
+        batch1 = nb_grad_batch
     # the reference's 1..=nb schedule (embedder.rs:873-876) runs its
     # final batch at gamma = grad_step*(1 - nb/nb) = 0 — a provable
     # no-op for both sweeps — so we keep the schedule and simply don't
     # execute those steps (saves ~1/nb of the optimize wall)
-    total_steps = max(nb_grad_batch - 1, 0) * n_sub
+    eff_batches = max(min(batch1, nb_grad_batch - 1) - batch0, 0)
+    total_steps = eff_batches * n_sub
     if total_steps == 0:
         return y0
     seg = min(total_steps, _segment_cap(y0.shape[0], n_groups))
@@ -577,7 +601,10 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                            nb_grad_batch=nb_grad_batch,
                            n_groups=n_groups, scatter_free=scatter_free,
                            step0=jnp.int32(si * seg), seg_steps=seg_steps,
-                           f_min=f_min, mask_p=mask_p)
+                           f_min=f_min, mask_p=mask_p, batch0=batch0,
+                           rot0=(jnp.int32(0) if rot_base is None
+                                 else jnp.int32(rot_base + si * seg)),
+                           use_rot0=rot_base is not None)
     return y
 
 
@@ -643,28 +670,67 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     Nodes are relabeled by one global random permutation so the rolled
     identity-pool negative sampler sees uniformly random negatives even
     if the input rows are ordered (e.g. sorted by class); the output is
-    returned in the original order."""
+    returned in the original order.
+
+    ``params.n_sub_schedule`` (a tuple of (n_batches, n_sub) phases
+    summing to nb_grad_batch) runs the SAME global gamma decay with a
+    different sub-sweep granularity per phase — e.g. coarse sub-sweeps
+    while gamma is large, fine ones for the late polishing — trading
+    conservation against total sweep count (the per-sweep cost is
+    granularity-independent; PERF.md gather floor)."""
     n, k = g.indices.shape
     if n_groups <= 0:
         n_groups = _auto_groups(k)
+    schedule = getattr(params, "n_sub_schedule", None)
+    if not schedule:
+        schedule = ((int(params.nb_grad_batch), n_sub),)
+    else:
+        schedule = tuple((int(nb), int(s)) for nb, s in schedule)
+        if sum(nb for nb, _ in schedule) != int(params.nb_grad_batch):
+            raise ValueError(
+                f"n_sub_schedule batches {schedule} must sum to "
+                f"nb_grad_batch={params.nb_grad_batch}")
     (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit, emb_scale,
      neg_weight, n_neg, key, inv) = prepare_dense_inputs(
-        y0, g, npar, params, n_sub, n_groups, neg_weights)
-    y_r = dense_optimize(y0_r, indices_r, w, m_visit,
-                         w_rev, m_rev_visit, emb_scale, key,
-                         neg_weight,
-                         grad_step_init=float(params.grad_step),
-                         b=float(params.b), n_sub=n_sub, n_neg=n_neg,
-                         nb_grad_batch=int(params.nb_grad_batch),
-                         n_groups=n_groups,
-                         scatter_free=params.dense_scatter_free,
-                         f_min=float(params.dense_f_min),
-                         mask_p=float(params.dense_mask_p))
+        y0, g, npar, params, schedule[0][1], n_groups, neg_weights)
+    nb_total = int(params.nb_grad_batch)
+    y_r, batch_cursor, rot, sweeps = y0_r, 0, 0, 0
+    for nb_p, s_p in schedule:
+        # per-visit multiplicity and negatives-per-sweep scale as
+        # 1/n_sub (prepare computed them for schedule[0][1])
+        scale_m = schedule[0][1] / s_p
+        n_neg_p = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge
+                               * k / s_p))
+        if len(schedule) > 1:
+            key, k_p = jax.random.split(key)
+        else:
+            k_p = key          # legacy stream: single phase == old path
+        y_r = dense_optimize(y_r, indices_r, w, m_visit * scale_m,
+                             w_rev, m_rev_visit * scale_m, emb_scale,
+                             k_p, neg_weight,
+                             grad_step_init=float(params.grad_step),
+                             b=float(params.b), n_sub=s_p, n_neg=n_neg_p,
+                             nb_grad_batch=nb_total,
+                             n_groups=n_groups,
+                             scatter_free=params.dense_scatter_free,
+                             f_min=float(params.dense_f_min),
+                             mask_p=float(params.dense_mask_p),
+                             batch0=batch_cursor,
+                             batch1=batch_cursor + nb_p,
+                             rot_base=(rot if len(schedule) > 1
+                                       else None))
+        executed = max(min(batch_cursor + nb_p, nb_total - 1)
+                       - batch_cursor, 0) * s_p
+        rot += executed
+        sweeps += executed
+        batch_cursor += nb_p
     y = y_r[inv]
     info = {"optimizer": "dense", "n_sub": n_sub, "n_neg": n_neg,
             "n_groups": n_groups, "f_min": float(params.dense_f_min),
             "mask_p": float(params.dense_mask_p),
             # executed sweeps: the schedule's zero-gamma final batch is
             # skipped (see total_steps in dense_optimize)
-            "sweeps": max(int(params.nb_grad_batch) - 1, 0) * n_sub}
+            "sweeps": sweeps}
+    if len(schedule) > 1:
+        info["n_sub_schedule"] = schedule
     return y, info

@@ -130,9 +130,11 @@ class Embedder:
         p = self.params
 
         # step 1: embed the small graph with more batches and step 1
+        # (an n_sub_schedule targets the LARGE phase — its batch counts
+        # sum to nb_grad_batch, not grad_factor x nb_grad_batch)
         first_params = dataclasses.replace(
             p, nb_grad_batch=p.grad_factor * p.nb_grad_batch,
-            grad_step=1.0, hierarchy_layer=0)
+            grad_step=1.0, hierarchy_layer=0, n_sub_schedule=None)
         first = Embedder(kgraph=proj.small_graph, params=first_params)
         y_small = first.one_step_embed()
         self.info["first_step"] = first.info

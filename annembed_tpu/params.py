@@ -105,6 +105,13 @@ class EmbedderParams:
     #: (see tests + /tmp/dense_tune*.log studies); raise (e.g. 120) for
     #: even finer granularity at proportional cost.
     n_sub: int = 60
+    #: optional n_sub SCHEDULE: tuple of (n_batches, n_sub) phases
+    #: summing to nb_grad_batch, run under the same global gamma decay
+    #: (e.g. ((30, 60), (30, 120)): coarse sub-sweeps while gamma is
+    #: large, fine ones late).  Per-sweep cost is granularity-
+    #: independent (PERF.md gather floor), so a schedule trades total
+    #: sweep count against conservation.  None = flat n_sub.
+    n_sub_schedule: Optional[tuple] = None
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

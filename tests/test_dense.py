@@ -274,3 +274,60 @@ def test_hubness_importance_weights_match_weighted_draws(rng):
     deviation = np.abs(clamped - nw)
     assert (deviation[~in_range] <= nw[~in_range]).all()
     assert deviation[in_range].max() < 1e-5
+
+
+def test_n_sub_schedule_single_phase_is_identity(rng):
+    """A one-phase schedule ((nb, s),) must reproduce the flat n_sub=s
+    run BIT-exactly (same key stream, same gamma, same rotation)."""
+    from annembed_tpu.optim.dense import run_dense_optimization
+    x = rng.normal(size=(250, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (250, 2)).astype(np.float32))
+    p_flat = EmbedderParams(nb_grad_batch=8, optimizer="dense")
+    p_sched = EmbedderParams(nb_grad_batch=8, optimizer="dense",
+                             n_sub_schedule=((8, 24),))
+    y1, i1 = run_dense_optimization(y0, g, npar, p_flat, n_sub=24)
+    y2, i2 = run_dense_optimization(y0, g, npar, p_sched, n_sub=24)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert i1["sweeps"] == i2["sweeps"] == 7 * 24
+
+
+def test_n_sub_schedule_two_phase(rng):
+    """Coarse->fine schedule: runs the global gamma decay across two
+    granularities, skips the zero-gamma final batch, reports the
+    executed sweep count, and still optimizes the CE objective."""
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    centers = rng.normal(size=(3, 8)) * 8
+    x = np.concatenate([centers[i] + rng.normal(size=(100, 8))
+                        for i in range(3)]).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (300, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=10, optimizer="dense",
+                       n_sub_schedule=((5, 12), (5, 24)))
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    y, info = run_dense_optimization(y0, g, npar, p, n_sub=12)
+    ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+    assert np.isfinite(np.asarray(y)).all()
+    assert ce1 < ce0
+    # phase A: batches 0..5 -> 5*12; phase B: batches 5..10, the last
+    # global batch is zero-gamma -> 4*24
+    assert info["sweeps"] == 5 * 12 + 4 * 24
+    assert info["n_sub_schedule"] == ((5, 12), (5, 24))
+
+
+def test_n_sub_schedule_must_sum_to_nb_grad_batch(rng):
+    from annembed_tpu.optim.dense import run_dense_optimization
+    import pytest
+    x = rng.normal(size=(100, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-1, 1, (100, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=10, n_sub_schedule=((4, 12),))
+    with pytest.raises(ValueError, match="must sum"):
+        run_dense_optimization(y0, g, npar, p)
