@@ -358,6 +358,46 @@ def _repulsion_kick_T(yi, yk_t, scaleT, gamma, b: float, ok_mask, nw_t):
     return yi + (yi - yk_t) * coeff_ik
 
 
+def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
+                       scale_blkT, gamma, b: float, n_neg: int,
+                       neg_weight_ext=None):
+    """Sequential repulsion kicks for one contiguous node block.
+
+    Kick ``t`` pairs global position p with (p + offset + t*(n//n_neg))
+    mod n — the identical strided identity pool of
+    ``_repulsion_sweep_rolledT`` — realized as ONE dynamic slice of the
+    (d, n + nb) wraparound-extended coordinate snapshot per kick
+    instead of a full-array roll (the block touches nb of n nodes, so
+    rolling all n per kick would cost n/nb times the block's own
+    traffic).  ``idxT_blk_full`` is the block's FULL (k, nb) neighbour
+    table (all column groups) for the neighbour-rejection test, exactly
+    like the flat sweep."""
+    d, nb = y_blk.shape
+    pos = lo + jnp.arange(nb, dtype=jnp.int32)
+    stride = max(1, n // n_neg)
+    shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
+    nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, nb)
+    ok_all = (nid != pos[None, :]) & jnp.logical_not(
+        (nid[:, None, :] == idxT_blk_full[None, :, :]).any(1))
+    yi = y_blk
+    for t in range(n_neg):
+        start = (lo + shifts[t]) % n
+        yk_t = jax.lax.dynamic_slice(yT_ext, (0, start), (d, nb))
+        nw_t = (None if neg_weight_ext is None else
+                jax.lax.dynamic_slice(neg_weight_ext, (start,),
+                                      (nb,))[None, :])
+        yi = _repulsion_kick_T(yi, yk_t, scale_blkT, gamma, b,
+                               ok_all[t][None, :], nw_t)
+    return yi
+
+
+def _block_bounds(n: int, n_blocks: int):
+    """Contiguous near-equal node blocks [lo, hi) (sizes differ by at
+    most 1; no divisibility requirement on n)."""
+    return [(b * n // n_blocks, (b + 1) * n // n_blocks)
+            for b in range(n_blocks)]
+
+
 @jax.jit
 def reverse_edge_info(indices: jnp.ndarray, w: jnp.ndarray):
     """Reverse-edge weight: for edge l of node i with j = indices[i, l],
@@ -391,7 +431,7 @@ def reverse_edge_weights(indices, w):
                                              "scatter_free",
                                              "seg_steps", "f_min",
                                              "mask_p", "batch0",
-                                             "use_rot0"))
+                                             "use_rot0", "n_blocks"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
@@ -399,7 +439,7 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    scatter_free: bool = True, step0=0,
                    seg_steps: int = 0, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
-                   rot0=0, use_rot0: bool = False):
+                   rot0=0, use_rot0: bool = False, n_blocks: int = 1):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -408,6 +448,15 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
     per-visit multiplicity scaled by n_groups.  This keeps the
     per-sync-step displacement (the quality knob) while paying
     1/n_groups of the gather + segment-sum cost per step.
+
+    ``n_blocks`` > 1 (transposed path only) additionally restricts each
+    sub-sweep to one contiguous 1/n_blocks NODE block (rotating
+    block-fastest, so one group pass is executed as n_blocks
+    incremental syncs): per-edge visits per batch drop to
+    n_sub / (n_groups * n_blocks) — and with them the per-batch gather
+    volume, the 11M wall floor (PERF.md) — while every gathered
+    neighbour coordinate is fresher by a factor n_blocks.  The caller
+    scales the per-visit multiplicity and n_neg by n_blocks.
 
     ``batch0``/``rot0`` support n_sub SCHEDULES (run_dense_optimization
     with a phase list): ``step0`` counts steps within the phase, gamma
@@ -439,6 +488,77 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
         # column-group rotation index: the global sweep counter when
         # scheduled (phases may have different n_sub); step_idx else
         return (rot0 + local_idx if use_rot0 else step_idx) % n_groups
+
+    if n_blocks > 1:
+        assert scatter_free, "n_blocks > 1 requires the transposed path"
+        blocks = _block_bounds(n, n_blocks)
+        gb_data = []
+        for c in range(n_groups):
+            sl = slice(c * kg, (c + 1) * kg)
+            idx_g = indices[:, sl]
+            for lo, hi in blocks:
+                idx_gb = idx_g[lo:hi]
+                gb_data.append(dict(
+                    lo=lo, hi=hi,
+                    idxT=idx_gb.T, wT=w[lo:hi, sl].T,
+                    mT=m_visit[lo:hi, sl].T,
+                    w_revT=w_rev[lo:hi, sl].T,
+                    m_revT=m_rev_visit[lo:hi, sl].T,
+                    scale_jT=emb_scale[idx_gb].T,
+                    scale_iT=emb_scale[lo:hi][None, :],
+                    idxT_full=indices[lo:hi].T))
+
+        def make_branch_gb(j):
+            gd = gb_data[j]
+            lo, hi = gd["lo"], gd["hi"]
+            nb = hi - lo
+
+            def branch(yT, gamma, kk, offset):
+                y_blk = jax.lax.slice(yT, (0, lo), (dim, hi))
+                if mask_p < 1.0:
+                    _, k_mask = jax.random.split(kk)
+                    mask = jax.random.bernoulli(
+                        k_mask, mask_p, (kg, nb)).astype(jnp.float32)
+                else:
+                    mask = None
+                y_blk = y_blk + _attraction_sweep_sfT(
+                    yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
+                    gd["m_revT"], gd["scale_iT"], gd["scale_jT"],
+                    gamma, b, f_min=f_min, mask=mask, mask_p=mask_p,
+                    y_ownT=y_blk)
+                yT = jax.lax.dynamic_update_slice(yT, y_blk, (0, lo))
+                # wraparound-extended snapshot for the strided pool
+                yT_ext = jnp.concatenate(
+                    [yT, jax.lax.slice(yT, (0, 0), (dim, nb))], axis=1)
+                nw_ext = (None if neg_weight is None else
+                          jnp.concatenate([neg_weight, neg_weight[:nb]]))
+                y_blk = _repulsion_block_T(
+                    yT_ext, y_blk, lo, n, offset, gd["idxT_full"],
+                    gd["scale_iT"], gamma, b, n_neg,
+                    neg_weight_ext=nw_ext)
+                return jax.lax.dynamic_update_slice(yT, y_blk, (0, lo))
+
+            return branch
+
+        branches_gb = [make_branch_gb(j)
+                       for j in range(n_groups * n_blocks)]
+
+        def body_gb(yT, args):
+            local_idx, kk = args
+            step_idx = step0 + local_idx
+            gamma = gamma_of(step_idx)
+            rot = (rot0 + local_idx if use_rot0
+                   else step_idx) % (n_groups * n_blocks)
+            kk_m, kk_o = jax.random.split(kk)
+            offset = jax.random.randint(kk_o, (), 0, n)
+            yT = jax.lax.switch(rot, branches_gb, yT, gamma, kk_m,
+                                offset)
+            return yT, None
+
+        yT, _ = jax.lax.scan(body_gb, y0.astype(jnp.float32).T,
+                             (jnp.arange(seg_steps, dtype=jnp.int32),
+                              keys))
+        return yT.T
 
     if scatter_free:
         # PRODUCTION path, transposed layout: all per-edge arrays with
@@ -568,7 +688,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    n_neg: int, nb_grad_batch: int, n_groups: int = 1,
                    scatter_free: bool = True, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
-                   batch1: int | None = None, rot_base: int | None = None):
+                   batch1: int | None = None, rot_base: int | None = None,
+                   n_blocks: int = 1):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -584,7 +705,10 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
     total_steps = eff_batches * n_sub
     if total_steps == 0:
         return y0
-    seg = min(total_steps, _segment_cap(y0.shape[0], n_groups))
+    # per-sweep cost scales with the block size, so the per-program
+    # sweep cap scales with n_blocks (same device seconds per program)
+    seg = min(total_steps,
+              _segment_cap(max(y0.shape[0] // n_blocks, 1), n_groups))
     n_segs = -(-total_steps // seg)
     y = y0
     keys = jax.random.split(key, n_segs)
@@ -604,7 +728,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                            f_min=f_min, mask_p=mask_p, batch0=batch0,
                            rot0=(jnp.int32(0) if rot_base is None
                                  else jnp.int32(rot_base + si * seg)),
-                           use_rot0=rot_base is not None)
+                           use_rot0=rot_base is not None,
+                           n_blocks=n_blocks)
     return y
 
 
@@ -677,10 +802,20 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     different sub-sweep granularity per phase — e.g. coarse sub-sweeps
     while gamma is large, fine ones for the late polishing — trading
     conservation against total sweep count (the per-sweep cost is
-    granularity-independent; PERF.md gather floor)."""
+    granularity-independent; PERF.md gather floor).
+
+    ``params.dense_n_blocks`` > 1 splits every sub-sweep into node
+    blocks (see _dense_segment): per-edge visits per batch — and the
+    per-batch gather volume that floors the large-n wall — drop to
+    n_sub / (n_groups * n_blocks) while the sync granularity stays at
+    n_sub * n_blocks block-updates per batch."""
     n, k = g.indices.shape
     if n_groups <= 0:
         n_groups = _auto_groups(k)
+    n_blocks = max(int(getattr(params, "dense_n_blocks", 1)), 1)
+    if n_blocks > 1 and not params.dense_scatter_free:
+        raise ValueError("dense_n_blocks > 1 requires the transposed "
+                         "scatter-free path (dense_scatter_free=True)")
     schedule = getattr(params, "n_sub_schedule", None)
     if not schedule:
         schedule = ((int(params.nb_grad_batch), n_sub),)
@@ -690,6 +825,11 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
             raise ValueError(
                 f"n_sub_schedule batches {schedule} must sum to "
                 f"nb_grad_batch={params.nb_grad_batch}")
+    for _, s_p in schedule:
+        if s_p % (n_groups * n_blocks) != 0:
+            raise ValueError(
+                f"n_sub={s_p} must be divisible by n_groups*n_blocks="
+                f"{n_groups}*{n_blocks} for equal edge coverage")
     (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit, emb_scale,
      neg_weight, n_neg, key, inv) = prepare_dense_inputs(
         y0, g, npar, params, schedule[0][1], n_groups, neg_weights)
@@ -697,10 +837,11 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     y_r, batch_cursor, rot, sweeps = y0_r, 0, 0, 0
     for nb_p, s_p in schedule:
         # per-visit multiplicity and negatives-per-sweep scale as
-        # 1/n_sub (prepare computed them for schedule[0][1])
-        scale_m = schedule[0][1] / s_p
+        # 1/n_sub (prepare computed them for schedule[0][1]) and as
+        # n_blocks (each node appears in 1/n_blocks of the sweeps)
+        scale_m = schedule[0][1] * n_blocks / s_p
         n_neg_p = max(1, round(NB_NEGATIVE * params.nb_sampling_by_edge
-                               * k / s_p))
+                               * k * n_blocks / s_p))
         if len(schedule) > 1:
             key, k_p = jax.random.split(key)
         else:
@@ -718,7 +859,8 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                              batch0=batch_cursor,
                              batch1=batch_cursor + nb_p,
                              rot_base=(rot if len(schedule) > 1
-                                       else None))
+                                       else None),
+                             n_blocks=n_blocks)
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed
@@ -731,6 +873,8 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
             # executed sweeps: the schedule's zero-gamma final batch is
             # skipped (see total_steps in dense_optimize)
             "sweeps": sweeps}
+    if n_blocks > 1:
+        info["n_blocks"] = n_blocks
     if len(schedule) > 1:
         info["n_sub_schedule"] = schedule
     return y, info

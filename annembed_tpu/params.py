@@ -112,6 +112,17 @@ class EmbedderParams:
     #: independent (PERF.md gather floor), so a schedule trades total
     #: sweep count against conservation.  None = flat n_sub.
     n_sub_schedule: Optional[tuple] = None
+    #: node-block sub-sweeps: split every sub-sweep into this many
+    #: contiguous node blocks (1 = off).  Per-edge visits per batch —
+    #: and the per-batch neighbour-gather volume that floors the
+    #: large-n optimize wall (PERF.md: 0.22 s/sweep at 11M) — drop to
+    #: n_sub / (n_groups * dense_n_blocks), while sync granularity
+    #: RISES to n_sub * dense_n_blocks block-updates per batch (each
+    #: gathered coordinate is fresher).  n_sub must be divisible by
+    #: n_groups * dense_n_blocks.  Only meaningful in the gather-bound
+    #: regime (n >~ 10^6); at bench scale the sweep is dispatch-bound
+    #: and more, smaller sweeps hurt.
+    dense_n_blocks: int = 1
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

@@ -331,3 +331,73 @@ def test_n_sub_schedule_must_sum_to_nb_grad_batch(rng):
     p = EmbedderParams(nb_grad_batch=10, n_sub_schedule=((4, 12),))
     with pytest.raises(ValueError, match="must sum"):
         run_dense_optimization(y0, g, npar, p)
+
+
+def test_repulsion_block_whole_array_matches_rolled(rng):
+    """_repulsion_block_T with ONE block spanning all nodes must
+    reproduce _repulsion_sweep_rolledT exactly (same strided pool,
+    same sequential kicks) — the wraparound dynamic-slice pool is a
+    pure re-layout of the roll."""
+    from annembed_tpu.optim.dense import (_repulsion_block_T,
+                                          _repulsion_sweep_rolledT)
+    n, d, k, n_neg = 97, 2, 5, 4
+    yT = jnp.asarray(rng.normal(size=(d, n)).astype(np.float32))
+    idxT = jnp.asarray(rng.integers(0, n, size=(k, n)), jnp.int32)
+    scaleT = jnp.asarray(
+        rng.uniform(0.1, 0.4, size=(1, n)).astype(np.float32))
+    nw = jnp.asarray(rng.uniform(0.5, 2.0, size=(n,)).astype(np.float32))
+    for offset in (0, 13, 90):
+        ref = _repulsion_sweep_rolledT(yT, jnp.int32(offset), idxT,
+                                       scaleT, 0.7, 1.0, n_neg,
+                                       neg_weight=nw)
+        yT_ext = jnp.concatenate([yT, yT], axis=1)
+        nw_ext = jnp.concatenate([nw, nw])
+        got = _repulsion_block_T(yT_ext, yT, 0, n, jnp.int32(offset),
+                                 idxT, scaleT, 0.7, 1.0, n_neg,
+                                 neg_weight_ext=nw_ext) - yT
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+
+def test_dense_n_blocks_optimizes(rng):
+    """Block sub-sweeps (the large-n gather-volume lever): CE must
+    improve comparably to the flat path at the same sweep budget, stay
+    finite, and report n_blocks."""
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    centers = rng.normal(size=(3, 8)) * 8
+    x = np.concatenate([centers[i] + rng.normal(size=(110, 8))
+                        for i in range(3)]).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (330, 2)).astype(np.float32))
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    p_flat = EmbedderParams(nb_grad_batch=10, optimizer="dense")
+    y_flat, _ = run_dense_optimization(y0, g, npar, p_flat, n_sub=24)
+    ce_flat = float(ce_value_dense(y_flat, g, npar.probas, npar.scale,
+                                   1.0))
+    p_blk = EmbedderParams(nb_grad_batch=10, optimizer="dense",
+                           dense_n_blocks=4)
+    y_blk, info = run_dense_optimization(y0, g, npar, p_blk, n_sub=24)
+    ce_blk = float(ce_value_dense(y_blk, g, npar.probas, npar.scale,
+                                  1.0))
+    assert np.isfinite(np.asarray(y_blk)).all()
+    assert info["n_blocks"] == 4
+    assert ce_blk < ce0
+    # same objective, same budget: the block path must land in the
+    # same CE basin as the flat path (loose band, different dynamics)
+    assert ce_blk < ce_flat + 0.25 * (ce0 - ce_flat)
+
+
+def test_dense_n_blocks_divisibility_error(rng):
+    from annembed_tpu.optim.dense import run_dense_optimization
+    import pytest
+    x = rng.normal(size=(100, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-1, 1, (100, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=6, dense_n_blocks=5)
+    with pytest.raises(ValueError, match="divisible"):
+        run_dense_optimization(y0, g, npar, p, n_sub=24)
