@@ -279,7 +279,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                                n_neg: int, nb_grad_batch: int,
                                n_groups: int, grad_step_init: float,
                                f_min: float, mask_p: float,
-                               seg_steps: int):
+                               seg_steps: int, batch0: int = 0,
+                               use_rot0: bool = False):
     """One jitted multi-sweep segment of the PRODUCTION dense schedule,
     row-sharded over the mesh.
 
@@ -293,11 +294,17 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     like the single-chip production path: full lanes on the (8, 128)
     tiling.  Each kick's negative pool is a CONTIGUOUS window of the
     replicated embedding (positions [r0 + s_t, r0 + m + s_t) mod n), so
-    repulsion stays gather-free on every device."""
+    repulsion stays gather-free on every device.
+
+    ``batch0``/``rot0``/``use_rot0`` carry n_sub SCHEDULE phases
+    exactly like optim/dense.py::_dense_segment: gamma decays at batch
+    ``batch0 + step//n_sub + 1`` of the GLOBAL nb_grad_batch schedule,
+    and the column-group rotation follows the global sweep counter
+    ``rot0 + local`` when scheduled."""
     from ..optim.dense import _attraction_sweep_sfT, _repulsion_kick_T
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
-              neg_weight, keys, step0):
+              neg_weight, keys, step0, rot0):
         n, dim = y0.shape
         m_rows, k = indices.shape
         assert k % n_groups == 0, (k, n_groups)   # else columns drop
@@ -348,7 +355,7 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
         def body(yT, args):
             local_idx, kk = args
             step_idx = step0 + local_idx
-            batch_idx = step_idx // n_sub + 1
+            batch_idx = batch0 + step_idx // n_sub + 1
             gamma = jnp.maximum(
                 grad_step_init * (1.0 - batch_idx.astype(jnp.float32)
                                   / nb_grad_batch), 0.0)
@@ -359,8 +366,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                     (kg, m_rows)).astype(jnp.float32)
             else:
                 mask = None
-            rowsT = jax.lax.switch(step_idx % n_groups, branches, yT,
-                                   gamma, mask)
+            rot = (rot0 + local_idx if use_rot0 else step_idx) % n_groups
+            rowsT = jax.lax.switch(rot, branches, yT, gamma, mask)
             yT = gather_rows(rowsT)
 
             # repulsion: per-kick contiguous window of the replicated
@@ -409,7 +416,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P("data", None), P("data", None), P("data", None),
-                  P("data", None), P("data", None), P(), P(), P(), P()),
+                  P("data", None), P("data", None), P(), P(), P(), P(),
+                  P()),
         out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
@@ -425,7 +433,12 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     jitted segments (one compile, few dispatches).
 
     Ragged n is padded to a multiple of the mesh size with inert rows
-    (zero edge weight/multiplicity); the output drops them."""
+    (zero edge weight/multiplicity); the output drops them.
+
+    ``params.n_sub_schedule`` runs coarse->fine phases exactly like the
+    single-chip driver.  ``params.dense_n_blocks`` is a single-chip
+    memory-layout knob (the sharded sweep already touches only 1/ndev
+    of the rows per device) and is intentionally not applied here."""
     import numpy as _np
     from ..optim.dense import (_segment_cap, _auto_groups,
                                prepare_dense_inputs)
@@ -436,7 +449,16 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
     n_groups = _auto_groups(k)
     # (an explicit 0 means "no optimization", not "use the default")
     nb = p.nb_grad_batch if nb_grad_batch is None else nb_grad_batch
-    n_sub = p.n_sub
+    schedule = getattr(p, "n_sub_schedule", None)
+    if not schedule:
+        schedule = ((nb, p.n_sub),)
+    else:
+        schedule = tuple((int(nbp), int(s)) for nbp, s in schedule)
+        if sum(nbp for nbp, _ in schedule) != nb:
+            raise ValueError(
+                f"n_sub_schedule batches {schedule} must sum to "
+                f"nb_grad_batch={nb}")
+    n_sub = schedule[0][1]
 
     # shared relabel/multiplicity prologue — SAME seed stream as the
     # single-chip driver, so the two paths stay in lockstep
@@ -469,41 +491,78 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
         neg_weight = jnp.concatenate(
             [neg_weight, jnp.zeros((pad,), jnp.float32)])
 
-    # skip the reference schedule's zero-gamma final batch (see
-    # optim/dense.py::dense_optimize)
-    total_steps = max(nb - 1, 0) * n_sub
-    if total_steps == 0:
-        return y0_r[:n][inv]
-    # the per-program budget scales with PER-DEVICE sweep cost, not the
-    # padded global n (each device sweeps its own row shard)
-    seg = min(total_steps, _segment_cap(y0_r.shape[0] // ndev, n_groups))
-    n_segs = -(-total_steps // seg)
-
     sh2 = NamedSharding(mesh, P("data", None))
     rep = NamedSharding(mesh, P())
-    args = (jax.device_put(indices_r, sh2), jax.device_put(w, sh2),
-            jax.device_put(m_visit, sh2), jax.device_put(w_rev, sh2),
-            jax.device_put(m_rev, sh2), jax.device_put(emb_scale, rep),
-            jax.device_put(jnp.ones((y0_r.shape[0],), jnp.float32)
-                           if neg_weight is None else neg_weight, rep))
+    base_args = (jax.device_put(indices_r, sh2), jax.device_put(w, sh2),
+                 jax.device_put(m_visit, sh2), jax.device_put(w_rev, sh2),
+                 jax.device_put(m_rev, sh2),
+                 jax.device_put(emb_scale, rep),
+                 jax.device_put(jnp.ones((y0_r.shape[0],), jnp.float32)
+                                if neg_weight is None else neg_weight,
+                                rep))
 
-    def make_step(seg_steps):
-        return make_sharded_dense_segment(
-            mesh, b=float(p.b), n_sub=n_sub, n_neg=n_neg,
-            nb_grad_batch=nb, n_groups=n_groups,
-            grad_step_init=float(p.grad_step),
-            f_min=float(p.dense_f_min), mask_p=float(p.dense_mask_p),
-            seg_steps=seg_steps)
+    # n_sub SCHEDULE phases, same semantics as the single-chip driver
+    # (run_dense_optimization): per-visit multiplicity and n_neg scale
+    # 1/n_sub per phase, gamma follows the GLOBAL nb batch decay.
+    from ..optim.ce import NB_NEGATIVE
 
-    step_fn = make_step(seg)
+    def run_phase(y, k_p, s_p, batch0, batch1, rot_base, scale_m,
+                  n_neg_p):
+        # skip the reference schedule's zero-gamma final batch (see
+        # optim/dense.py::dense_optimize)
+        eff = max(min(batch1, nb - 1) - batch0, 0)
+        total_steps = eff * s_p
+        if total_steps == 0:
+            return y, 0
+        # the per-program budget scales with PER-DEVICE sweep cost, not
+        # the padded global n (each device sweeps its own row shard)
+        seg = min(total_steps,
+                  _segment_cap(y0_r.shape[0] // ndev, n_groups))
+        n_segs = -(-total_steps // seg)
+        args = base_args
+        if scale_m != 1.0:
+            args = (args[0], args[1], args[2] * scale_m, args[3],
+                    args[4] * scale_m, args[5], args[6])
+        cache = {}
+
+        def make_step(seg_steps):
+            if seg_steps not in cache:
+                cache[seg_steps] = make_sharded_dense_segment(
+                    mesh, b=float(p.b), n_sub=s_p, n_neg=n_neg_p,
+                    nb_grad_batch=nb, n_groups=n_groups,
+                    grad_step_init=float(p.grad_step),
+                    f_min=float(p.dense_f_min),
+                    mask_p=float(p.dense_mask_p),
+                    seg_steps=seg_steps, batch0=batch0,
+                    use_rot0=len(schedule) > 1)
+            return cache[seg_steps]
+
+        seg_keys = jax.random.split(k_p, n_segs)
+        for si in range(n_segs):
+            # last segment runs only the remaining steps (one extra
+            # compile) — padding to seg would burn zero-gamma no-op
+            # sweeps at full device cost, same fix as dense_optimize
+            seg_steps = min(seg, total_steps - si * seg)
+            keys = jax.random.split(seg_keys[si], seg_steps)
+            y = make_step(seg_steps)(y, *args, keys,
+                                     jnp.int32(si * seg),
+                                     jnp.int32(rot_base + si * seg))
+        return y, total_steps
+
     y = jax.device_put(y0_r, rep)
-    seg_keys = jax.random.split(key, n_segs)
-    for si in range(n_segs):
-        # last segment runs only the remaining steps (one extra
-        # compile) — padding to seg would burn zero-gamma no-op sweeps
-        # at full device cost, same fix as dense_optimize
-        seg_steps = min(seg, total_steps - si * seg)
-        fn = step_fn if seg_steps == seg else make_step(seg_steps)
-        keys = jax.random.split(seg_keys[si], seg_steps)
-        y = fn(y, *args, keys, jnp.int32(si * seg))
+    batch_cursor, rot = 0, 0
+    for nbp, s_p in schedule:
+        scale_m = schedule[0][1] / s_p
+        n_neg_p = (n_neg if len(schedule) == 1 else
+                   max(1, round(NB_NEGATIVE * p.nb_sampling_by_edge
+                                * k / s_p)))
+        if len(schedule) > 1:
+            key, k_p = jax.random.split(key)
+        else:
+            k_p = key          # legacy stream: single phase == old path
+        y, executed = run_phase(y, k_p, s_p, batch_cursor,
+                                batch_cursor + nbp, rot, scale_m,
+                                n_neg_p)
+        rot += executed
+        batch_cursor += nbp
     return y[:n][inv]
