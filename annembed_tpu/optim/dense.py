@@ -492,11 +492,16 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
     if n_blocks > 1:
         assert scatter_free, "n_blocks > 1 requires the transposed path"
         blocks = _block_bounds(n, n_blocks)
+        # block-only constants built once, shared across groups (the
+        # full-k neighbour table and own-scale row do not depend on c)
+        blk_common = [dict(scale_iT=emb_scale[lo:hi][None, :],
+                           idxT_full=indices[lo:hi].T)
+                      for lo, hi in blocks]
         gb_data = []
         for c in range(n_groups):
             sl = slice(c * kg, (c + 1) * kg)
             idx_g = indices[:, sl]
-            for lo, hi in blocks:
+            for bi, (lo, hi) in enumerate(blocks):
                 idx_gb = idx_g[lo:hi]
                 gb_data.append(dict(
                     lo=lo, hi=hi,
@@ -505,8 +510,7 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                     w_revT=w_rev[lo:hi, sl].T,
                     m_revT=m_rev_visit[lo:hi, sl].T,
                     scale_jT=emb_scale[idx_gb].T,
-                    scale_iT=emb_scale[lo:hi][None, :],
-                    idxT_full=indices[lo:hi].T))
+                    **blk_common[bi]))
 
         def make_branch_gb(j):
             gd = gb_data[j]
