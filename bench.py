@@ -212,9 +212,15 @@ def run_once(x, sync_element=False):
     t["proba"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH)
-    y, info = run_dense_optimization(init, g, npar, params,
-                                     n_sub=params.n_sub)
+    # coarse->fine n_sub schedule: batches 1-20 at 30 sub-sweeps,
+    # 21-30 at 60 — 1140 sweeps instead of flat n_sub=60's 1740 at
+    # equal conservation (CPU A/B at this exact operating point:
+    # no_match 57842 vs 57793, matched 1.132 vs 1.120; plain flat
+    # n_sub=30 degrades to 60543 — the schedule's shape earns the
+    # cut).  PERF.md round-3 granularity study.
+    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
+                            n_sub_schedule=((20, 30), (10, 60)))
+    y, info = run_dense_optimization(init, g, npar, params, n_sub=30)
     y.block_until_ready()
     if sync_element:
         # materialize one element INSIDE the timed window: in sync mode
