@@ -137,6 +137,44 @@ emit({"bench": "dense_sweep", "n": n70, "per_sweep_ms": round(per_sweep * 1e3, 3
       "achieved_gbps": round(bytes_sweep / per_sweep / 1e9, 1),
       "hbm_fraction": round(bytes_sweep / per_sweep / PEAK_HBM, 3)})
 
+# ---- 4b. gather packing A/B --------------------------------------------
+# The 11M sweep floor is the neighbour-coordinate gather: (3, n) indices
+# into a (2, n) f32 table ran at ~153M slices/s regardless of locality
+# (PERF.md round-3 probe).  If that floor is per-SLICE (issue-bound),
+# packing the two f32 coords into one complex64 lane halves the slice
+# count's byte overhead changes nothing; if it is per-ELEMENT, packing
+# halves the wall — and the sweep can keep a packed mirror of yT for
+# one cheap elementwise repack per sweep.  This measures both forms at
+# gather-bound scale.
+ng = 4_000_000 if not N70 else 50_000
+kg_probe = 3
+rngp = np.random.default_rng(3)
+gidx = jnp.asarray(rngp.integers(0, ng, size=(kg_probe, ng)), jnp.int32)
+ytab = jax.random.normal(jax.random.PRNGKey(2), (2, ng), jnp.float32)
+ypak = jax.lax.complex(ytab[0], ytab[1])          # (n,) complex64
+
+
+@jax.jit
+def gather_f32_pair(tab, idx):
+    return tab[:, idx]                            # (2, kg, n)
+
+
+@jax.jit
+def gather_packed(tab, idx):
+    z = tab[idx]                                  # (kg, n) complex64
+    return jnp.stack([jnp.real(z), jnp.imag(z)])  # (2, kg, n)
+
+
+_, w_pair = timed(lambda: gather_f32_pair(ytab, gidx), "gather f32 (2,n)")
+out_pak, w_pak = timed(lambda: gather_packed(ypak, gidx),
+                       "gather packed complex64")
+ok_pack = bool(jnp.allclose(out_pak, gather_f32_pair(ytab, gidx)))
+emit({"bench": "gather_packing", "n": ng, "k": kg_probe,
+      "pair_wall_s": round(w_pair, 4), "packed_wall_s": round(w_pak, 4),
+      "speedup": round(w_pair / w_pak, 2) if w_pak > 0 else 0.0,
+      "bit_ok": ok_pack,
+      "slices_per_s_pair": round(kg_probe * ng / w_pair / 1e6, 1)})
+
 # ---- 2. IVF join at 2M --------------------------------------------------
 rng = np.random.default_rng(7)
 n2 = N2M
@@ -207,5 +245,24 @@ for rho, rounds in ((1.0, 1), (0.5, 1), (0.5, 2)):
           # first config of each shape pays the slab compile; later
           # ones reuse it — not directly comparable to warmed sections
           "includes_compile": True})
+
+# ---- 4c. dense sweep at 2M: flat vs node blocks ------------------------
+# Per-sweep wall in the gather-bound regime (PERF.md: 0.22 s/sweep at
+# 11M).  Blocks cut the per-batch gather volume by n_blocks at the
+# quality cost measured in the granularity study; this pins the actual
+# s/sweep so the 11M wall/quality Pareto can be planned from numbers.
+g2 = KGraph(indices=ii, dists=dd)
+npar2 = to_proba_edges(g2, 0.5, 1.0)
+y2_0 = jax.random.uniform(jax.random.PRNGKey(1), (n2, 2), jnp.float32,
+                          -5.0, 5.0)
+for tag, blocks, n_sub_b in (("flat", 1, 12), ("B4", 4, 48)):
+    p2 = EmbedderParams(nb_grad_batch=2, dense_n_blocks=blocks)
+    _, w_d2 = timed(lambda p2=p2, ns=n_sub_b: run_dense_optimization(
+        y2_0, g2, npar2, p2, n_sub=ns)[0],
+        f"dense 2M {tag}", reps=1)
+    sweeps_b = 1 * n_sub_b
+    emit({"bench": "dense_sweep_2m", "variant": tag, "n": n2,
+          "n_blocks": blocks, "per_sweep_ms": round(w_d2 / sweeps_b * 1e3, 2),
+          "batch_wall_s": round(w_d2, 2)})
 
 note("done")
