@@ -131,18 +131,16 @@ class Embedder:
 
         # step 1: embed the small graph with more batches and step 1.
         # An n_sub_schedule's batch counts target the LARGE phase (they
-        # sum to nb_grad_batch); the first step runs the SAME decay
-        # shape scaled to its grad_factor x nb_grad_batch batches —
-        # the small phase is gather-bound at scale exactly like the
-        # large one (PERF.md: 341 s of the 11M run), so the
-        # coarse->fine saving applies to both.
-        first_schedule = (tuple((p.grad_factor * nb, s)
-                                for nb, s in p.n_sub_schedule)
-                          if p.n_sub_schedule else None)
+        # sum to nb_grad_batch); the first step deliberately runs FLAT
+        # n_sub: inheriting a grad_factor-scaled schedule was A/B'd on
+        # the 100k harness and came out consistently slightly worse on
+        # all three quality metrics (no-match 0.1234 vs 0.1208, matched
+        # 3.260 vs 3.333 — PERF.md granularity study) for a ~4% e2e
+        # wall saving; the seed embedding's quality compounds, so
+        # quality wins here.
         first_params = dataclasses.replace(
             p, nb_grad_batch=p.grad_factor * p.nb_grad_batch,
-            grad_step=1.0, hierarchy_layer=0,
-            n_sub_schedule=first_schedule)
+            grad_step=1.0, hierarchy_layer=0, n_sub_schedule=None)
         first = Embedder(kgraph=proj.small_graph, params=first_params)
         y_small = first.one_step_embed()
         self.info["first_step"] = first.info

@@ -45,9 +45,16 @@ logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                     format="%(asctime)s %(name)s: %(message)s")
 
 
-def parse_schedule(spec):
-    """'30x60,30x120' -> ((30, 60), (30, 120)); None/'' -> None."""
-    if not spec:
+def parse_schedule(spec, batch=None, n_sub=None):
+    """'30x60,30x120' -> ((30, 60), (30, 120)); None/''/'none' -> None.
+
+    'auto' resolves to the tuned coarse->fine recipe ((40,60),(20,120))
+    when batch/n_sub sit at the harness defaults (60/120), else flat —
+    so explicit operating-point flags are never silently reshaped."""
+    if spec == "auto":
+        return (((40, 60), (20, 120))
+                if (batch, n_sub) == (60, 120) else None)
+    if not spec or spec == "none":
         return None
     return tuple(tuple(int(v) for v in part.split("x"))
                  for part in spec.split(","))
@@ -124,11 +131,14 @@ def main():
                          "the per-batch gather volume by running each "
                          "sub-sweep on 1/B of the nodes at B x the "
                          "sync granularity")
-    ap.add_argument("--schedule", default=None,
+    ap.add_argument("--schedule", default="auto",
                     help="n_sub schedule as 'NBxS,NBxS,...' phases "
-                         "summing to --batch, e.g. '30x60,30x120' "
-                         "(coarse->fine beat flat 60x120 on every "
-                         "quality metric at 25%% fewer sweeps)")
+                         "summing to --batch (coarse->fine beat flat "
+                         "60x120 on every quality metric at 2/3 the "
+                         "sweeps — PERF.md granularity study). "
+                         "'auto' (default) = 40x60,20x120 when "
+                         "--batch/--n-sub are at their defaults, else "
+                         "flat; 'none' = flat n_sub")
     ap.add_argument("--nprobe", type=int, default=24,
                     help="IVF cells probed per query (24 x rho=0.5 x "
                          "4 rounds = tuned 11M point: recall@6 0.9803 "
@@ -194,7 +204,8 @@ def main():
                                   n_sub=args.n_sub,
                                   dense_n_blocks=args.n_blocks,
                                   n_sub_schedule=parse_schedule(
-                                      args.schedule)))
+                                      args.schedule, args.batch,
+                                      args.n_sub)))
         g = info.pop("kgraph", None)
     wall = time.perf_counter() - t0
 
