@@ -829,11 +829,17 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
             raise ValueError(
                 f"n_sub_schedule batches {schedule} must sum to "
                 f"nb_grad_batch={params.nb_grad_batch}")
-    for _, s_p in schedule:
-        if s_p % (n_groups * n_blocks) != 0:
-            raise ValueError(
-                f"n_sub={s_p} must be divisible by n_groups*n_blocks="
-                f"{n_groups}*{n_blocks} for equal edge coverage")
+    # Equal per-batch (group, block) coverage needs n_sub divisible by
+    # n_groups*n_blocks.  Enforced only when blocks are on: the flat
+    # path has always accepted any n_sub (group rotation is continuous
+    # across batches, so coverage evens out over the run).
+    if n_blocks > 1:
+        for _, s_p in schedule:
+            if s_p % (n_groups * n_blocks) != 0:
+                raise ValueError(
+                    f"n_sub={s_p} must be divisible by n_groups*"
+                    f"n_blocks={n_groups}*{n_blocks} for equal edge "
+                    f"coverage")
     (y0_r, indices_r, w, m_visit, w_rev, m_rev_visit, emb_scale,
      neg_weight, n_neg, key, inv) = prepare_dense_inputs(
         y0, g, npar, params, schedule[0][1], n_groups, neg_weights)
