@@ -272,7 +272,7 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
 def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
                           scale_iT, scale_jT, gamma, b: float,
                           f_min: float = 1e-3, mask=None,
-                          mask_p: float = 1.0, y_ownT=None):
+                          mask_p: float = 1.0, y_ownT=None, yzT=None):
     """Transposed (feature-minor) scatter-free attraction.
 
     Same math as ``_attraction_sweep_scatter_free`` but every array is
@@ -287,9 +287,20 @@ def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
     ``y_ownT`` (d, m): the self-coordinate block when it differs from
     the gather source — the sharded path passes its device's row block
     while gathering neighbours from the replicated yT, so the formula
-    lives HERE once for both the single- and multi-chip paths."""
+    lives HERE once for both the single- and multi-chip paths.
+
+    ``yzT`` (n,) complex64: optional PACKED gather source for d=2
+    (re=row 0, im=row 1 of yT).  complex64 stores the two f32s
+    exactly, so the packed gather is bit-identical to the pair gather
+    — it exists purely to halve the gathered element count if the
+    hardware gather is per-element-bound (microbench `gather_packing`
+    decides; PERF.md gather-floor study)."""
     y_own = yT if y_ownT is None else y_ownT
-    yj = yT[:, idxT]                                   # (d, kg, n)
+    if yzT is not None:
+        z = yzT[idxT]                                  # (kg, n) c64
+        yj = jnp.stack([jnp.real(z), jnp.imag(z)])     # (2, kg, n)
+    else:
+        yj = yT[:, idxT]                               # (d, kg, n)
     diff = yj - y_own[:, None, :]
     d2 = jnp.sum(jnp.square(diff), 0)                  # (kg, n)
     alpha_f = _clipped_alpha(d2 / jnp.square(scale_iT), scale_iT, wT,
@@ -431,7 +442,8 @@ def reverse_edge_weights(indices, w):
                                              "scatter_free",
                                              "seg_steps", "f_min",
                                              "mask_p", "batch0",
-                                             "use_rot0", "n_blocks"))
+                                             "use_rot0", "n_blocks",
+                                             "packed_gather"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
@@ -439,7 +451,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    scatter_free: bool = True, step0=0,
                    seg_steps: int = 0, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
-                   rot0=0, use_rot0: bool = False, n_blocks: int = 1):
+                   rot0=0, use_rot0: bool = False, n_blocks: int = 1,
+                   packed_gather: bool = False):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -525,11 +538,13 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                         k_mask, mask_p, (kg, nb)).astype(jnp.float32)
                 else:
                     mask = None
+                yz = (jax.lax.complex(yT[0], yT[1])
+                      if packed_gather and dim == 2 else None)
                 y_blk = y_blk + _attraction_sweep_sfT(
                     yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
                     gd["m_revT"], gd["scale_iT"], gd["scale_jT"],
                     gamma, b, f_min=f_min, mask=mask, mask_p=mask_p,
-                    y_ownT=y_blk)
+                    y_ownT=y_blk, yzT=yz)
                 yT = jax.lax.dynamic_update_slice(yT, y_blk, (0, lo))
                 # wraparound-extended snapshot for the strided pool
                 yT_ext = jnp.concatenate(
@@ -583,10 +598,12 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
             gd = groupsT[c]
 
             def branch(yT, gamma, mask):
+                yz = (jax.lax.complex(yT[0], yT[1])
+                      if packed_gather and dim == 2 else None)
                 return yT + _attraction_sweep_sfT(
                     yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
                     gd["m_revT"], scale_iT, gd["scale_jT"], gamma, b,
-                    f_min=f_min, mask=mask, mask_p=mask_p)
+                    f_min=f_min, mask=mask, mask_p=mask_p, yzT=yz)
 
             return branch
 
@@ -693,7 +710,7 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    scatter_free: bool = True, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
                    batch1: int | None = None, rot_base: int | None = None,
-                   n_blocks: int = 1):
+                   n_blocks: int = 1, packed_gather: bool = False):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -733,7 +750,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                            rot0=(jnp.int32(0) if rot_base is None
                                  else jnp.int32(rot_base + si * seg)),
                            use_rot0=rot_base is not None,
-                           n_blocks=n_blocks)
+                           n_blocks=n_blocks,
+                           packed_gather=packed_gather)
     return y
 
 
@@ -820,6 +838,11 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
     if n_blocks > 1 and not params.dense_scatter_free:
         raise ValueError("dense_n_blocks > 1 requires the transposed "
                          "scatter-free path (dense_scatter_free=True)")
+    # packed gather applies only where it can be bit-exact: d=2 on the
+    # transposed path (complex64 = exactly two f32 lanes)
+    packed = (bool(getattr(params, "dense_packed_gather", False))
+              and params.dense_scatter_free
+              and jnp.asarray(y0).shape[1] == 2)
     schedule = getattr(params, "n_sub_schedule", None)
     if not schedule:
         schedule = ((int(params.nb_grad_batch), n_sub),)
@@ -870,7 +893,7 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                              batch1=batch_cursor + nb_p,
                              rot_base=(rot if len(schedule) > 1
                                        else None),
-                             n_blocks=n_blocks)
+                             n_blocks=n_blocks, packed_gather=packed)
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed

@@ -123,6 +123,13 @@ class EmbedderParams:
     #: regime (n >~ 10^6); at bench scale the sweep is dispatch-bound
     #: and more, smaller sweeps hurt.
     dense_n_blocks: int = 1
+    #: pack the (2, n) coordinate table into one complex64 lane for the
+    #: neighbour gather (d=2, transposed path only; BIT-exact — c64 is
+    #: exactly two f32s).  Halves the gathered element count; whether
+    #: that halves the gather wall depends on whether the chip's gather
+    #: is per-element- or per-slice-bound (microbench `gather_packing`
+    #: in tools/microbench_tpu.py decides; off until measured).
+    dense_packed_gather: bool = False
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

@@ -401,3 +401,25 @@ def test_dense_n_blocks_divisibility_error(rng):
     p = EmbedderParams(nb_grad_batch=6, dense_n_blocks=5)
     with pytest.raises(ValueError, match="divisible"):
         run_dense_optimization(y0, g, npar, p, n_sub=24)
+
+
+def test_packed_gather_bit_identical(rng):
+    """dense_packed_gather reroutes the neighbour gather through a
+    complex64 lane pack — it must be BIT-identical to the pair gather
+    (complex64 stores the two f32 coordinates exactly), flat and
+    blocked, scheduled or not."""
+    from annembed_tpu.optim.dense import run_dense_optimization
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (300, 2)).astype(np.float32))
+    for extra in ({}, {"dense_n_blocks": 2},
+                  {"n_sub_schedule": ((4, 24), (4, 48))}):
+        p0 = EmbedderParams(nb_grad_batch=8, optimizer="dense", **extra)
+        p1 = EmbedderParams(nb_grad_batch=8, optimizer="dense",
+                            dense_packed_gather=True, **extra)
+        y_a, _ = run_dense_optimization(y0, g, npar, p0, n_sub=24)
+        y_b, _ = run_dense_optimization(y0, g, npar, p1, n_sub=24)
+        np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b),
+                                      err_msg=str(extra))
