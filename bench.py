@@ -212,15 +212,15 @@ def run_once(x, sync_element=False):
     t["proba"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    # coarse->fine n_sub schedule: batches 1-20 at 30 sub-sweeps,
-    # 21-30 at 60 — 1140 sweeps instead of flat n_sub=60's 1740 at
-    # equal conservation (CPU A/B at this exact operating point:
-    # no_match 57842 vs 57793, matched 1.132 vs 1.120; plain flat
-    # n_sub=30 degrades to 60543 — the schedule's shape earns the
-    # cut).  PERF.md round-3 granularity study.
+    # coarse->fine n_sub schedule: 765 sweeps instead of flat
+    # n_sub=60's 1740 at equal conservation (CPU A/B at this exact
+    # operating point: no_match 57395 / matched 1.127 vs the flat
+    # control's 57793 / 1.120; two-phase (20,30)+(10,60) at 1140
+    # sweeps measured the same, halving further to 570 degrades —
+    # PERF.md round-3 granularity study).
     params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
-                            n_sub_schedule=((20, 30), (10, 60)))
-    y, info = run_dense_optimization(init, g, npar, params, n_sub=30)
+                            n_sub_schedule=((15, 15), (10, 30), (5, 60)))
+    y, info = run_dense_optimization(init, g, npar, params, n_sub=15)
     y.block_until_ready()
     if sync_element:
         # materialize one element INSIDE the timed window: in sync mode
