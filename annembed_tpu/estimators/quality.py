@@ -157,12 +157,18 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         else:
             # caller params carry the ORIGINAL-space tuning; keep the
             # strategy knobs that transfer (brute_force_limit, nlist,
-            # nprobe, dtype, topk_recall) but force the embedded-space
+            # nprobe, topk_recall) but force the embedded-space
             # essentials: knbn=nbng, no NN-descent (see above), grid
-            # quantizer on the low-d cloud
+            # quantizer on the low-d cloud, and FLOAT32 panels — an
+            # inherited bfloat16 dtype corrupts low-d candidate
+            # selection (cancellation) so badly that the measured
+            # radius inflates and no-match deflates ~4x (PERF.md
+            # "quality radius was precision-inflated"); the f32 cost
+            # at d=2 is negligible next to the phase's gathers
             import dataclasses
             knn_params = dataclasses.replace(
                 knn_params, knbn=nbng, refine_rounds=0,
+                dtype="float32",
                 quantizer="grid" if y.shape[1] == 2
                 else knn_params.quantizer)
         emb_graph = build_kgraph(y, nbng, distance="DistL2",

@@ -85,6 +85,25 @@ _PAIRS = {
 # panels
 # ---------------------------------------------------------------------------
 
+#: below this feature count, f32 panel matmuls run at Precision.HIGHEST.
+#: On TPU the DEFAULT precision executes f32 matmuls as bf16 passes;
+#: for LOW-d clouds (embedded 2-D coordinates above all) the
+#: ||q||^2+||x||^2-2qx cancellation then corrupts near-neighbour
+#: ordering so badly that candidate selection returns a quasi-random
+#: near-ball — measured to deflate the quality metric's no-match count
+#: 4x (PERF.md round-3 "quality radius was precision-inflated").  At
+#: d <= 32 the matmul is a negligible fraction of the panel wall, so
+#: exactness is free; high-d panels keep DEFAULT (the documented
+#: bf16-candidates + exact-f32-rerank tradeoff covers them).
+_HIGHEST_PRECISION_MAX_D = 32
+
+
+def _panel_precision(d: int, dtype):
+    return (jax.lax.Precision.HIGHEST
+            if d <= _HIGHEST_PRECISION_MAX_D
+            and jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def l2_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm: jnp.ndarray | None = None,
              dtype=jnp.float32) -> jnp.ndarray:
     """Euclidean distances ||q_i - x_j|| as a (b, m) panel.
@@ -98,7 +117,8 @@ def l2_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm: jnp.ndarray | None = None
     q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)  # (b,)
     if x_sqnorm is None:
         x_sqnorm = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)  # (m,)
-    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32)  # (b, m)
+    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32,
+                    precision=_panel_precision(q.shape[-1], dtype))
     d2 = q_sq[:, None] + x_sqnorm[None, :] - 2.0 * cross
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
@@ -113,7 +133,8 @@ def cosine_panel(q: jnp.ndarray, x: jnp.ndarray, x_sqnorm=None,
     if x_sqnorm is None:
         x_sqnorm = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
     x_n = jnp.sqrt(x_sqnorm)
-    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(qf, xf.T, preferred_element_type=jnp.float32,
+                    precision=_panel_precision(q.shape[-1], dtype))
     cos = cross / jnp.maximum(q_n[:, None] * x_n[None, :], _EPS)
     zero = (q_n[:, None] <= 0.0) | (x_n[None, :] <= 0.0)
     return jnp.where(zero, 0.0, 1.0 - cos)

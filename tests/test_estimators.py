@@ -163,3 +163,26 @@ def test_cdc_batch_matches_dense_rows(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cov_b), cov_d,
                                rtol=1e-3, atol=1e-5)
+
+
+def test_quality_ignores_inherited_bf16_dtype(rng):
+    """quality_estimate must force float32 panels for the embedded
+    rebuild even when the caller's ORIGINAL-space KnnParams carry
+    dtype='bfloat16' (at d=2 the L2 cancellation under bf16 corrupts
+    candidate selection and inflates the radius ~4x — PERF.md 'quality
+    radius was precision-inflated')."""
+    from annembed_tpu.estimators.quality import quality_estimate
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.params import KnnParams
+    x = rng.normal(size=(500, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    y = rng.normal(size=(500, 2)).astype(np.float32)
+    q_f32 = quality_estimate(g, y, nbng=20,
+                             knn_params=KnnParams(dtype="float32"))
+    q_bf = quality_estimate(g, y, nbng=20,
+                            knn_params=KnnParams(dtype="bfloat16"))
+    assert q_f32.nb_without_match == q_bf.nb_without_match
+    assert q_f32.mean_nb_matched == q_bf.mean_nb_matched
+    assert q_f32.median_ratio == q_bf.median_ratio
