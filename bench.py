@@ -288,8 +288,11 @@ def _main_inner():
     #  * recall@KNBN of the (bf16-panel) graph build vs exact on a
     #    subsample
     #  * neighborhood conservation at nbng=50 (the reference's own
-    #    metric, embedder.rs:620; round-2 operating point was
-    #    no_match 14071 / matched 2.68 / ratio 1.40)
+    #    metric, embedder.rs:620).  NOTE: rounds 1-3 recorded
+    #    ~14-15k no_match via a precision-inflated radius (PERF.md
+    #    "the quality radius was precision-inflated"); the fixed
+    #    exact-radius estimator reports ~57-58k at this operating
+    #    point — compare only against fixed-estimator rows.
     hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
     if hard_left < 100:
         _note(f"skipping quality section ({hard_left:.0f}s to hard "
