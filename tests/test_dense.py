@@ -423,3 +423,34 @@ def test_packed_gather_bit_identical(rng):
         y_b, _ = run_dense_optimization(y0, g, npar, p1, n_sub=24)
         np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b),
                                       err_msg=str(extra))
+
+
+def test_multi_segment_schedule_and_blocks(rng, monkeypatch):
+    """At 11M the per-program sweep cap splits every phase into many
+    segments (cap ~ 12 sweeps); exercise that path on small data by
+    shrinking the cap: scheduled (use_rot0) and blocked runs must stay
+    finite and optimize across segment boundaries, including segments
+    that start mid-batch and at non-zero rotation."""
+    import annembed_tpu.optim.dense as dense_mod
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    monkeypatch.setattr(dense_mod, "_MAX_SWEEPS_PER_PROGRAM", 7)
+    monkeypatch.setattr(dense_mod, "_SWEEP_REFERENCE_N", 1)
+
+    centers = rng.normal(size=(3, 8)) * 8
+    x = np.concatenate([centers[i] + rng.normal(size=(90, 8))
+                        for i in range(3)]).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (270, 2)).astype(np.float32))
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    for extra in ({"n_sub_schedule": ((5, 12), (5, 24))},
+                  {"dense_n_blocks": 2},
+                  {"n_sub_schedule": ((5, 12), (5, 24)),
+                   "dense_n_blocks": 2}):
+        p = EmbedderParams(nb_grad_batch=10, optimizer="dense", **extra)
+        y, info = run_dense_optimization(y0, g, npar, p, n_sub=12)
+        ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+        assert np.isfinite(np.asarray(y)).all(), extra
+        assert ce1 < ce0, (extra, ce0, ce1)
