@@ -137,6 +137,17 @@ emit({"bench": "dense_sweep", "n": n70, "per_sweep_ms": round(per_sweep * 1e3, 3
       "achieved_gbps": round(bytes_sweep / per_sweep / 1e9, 1),
       "hbm_fraction": round(bytes_sweep / per_sweep / PEAK_HBM, 3)})
 
+# ---- 4d. dmap init at the bench point ----------------------------------
+# 0.29 s of the bench e2e with no phase-internal accounting; once the
+# optimize schedule lands (~1.0 s), this is ~20% of the remaining wall.
+from annembed_tpu.spectral.diffmaps import DiffusionMaps  # noqa: E402
+from annembed_tpu.params import DiffusionParams  # noqa: E402
+
+dm70 = DiffusionMaps(params=DiffusionParams(asked_dim=2, alfa=0.5,
+                                            beta=-0.1, t=5.0, gnbn=12))
+_, w_dm = timed(lambda: dm70.embed_from_kgraph(g70), "dmap init 70k")
+emit({"bench": "dmap_init", "n": n70, "wall_s": round(w_dm, 3)})
+
 # ---- 4b. gather packing A/B --------------------------------------------
 # The 11M sweep floor is the neighbour-coordinate gather: (3, n) indices
 # into a (2, n) f32 table ran at ~153M slices/s regardless of locality
