@@ -280,7 +280,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                                n_groups: int, grad_step_init: float,
                                f_min: float, mask_p: float,
                                seg_steps: int, batch0: int = 0,
-                               use_rot0: bool = False):
+                               use_rot0: bool = False,
+                               packed_gather: bool = False):
     """One jitted multi-sweep segment of the PRODUCTION dense schedule,
     row-sharded over the mesh.
 
@@ -300,7 +301,9 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     exactly like optim/dense.py::_dense_segment: gamma decays at batch
     ``batch0 + step//n_sub + 1`` of the GLOBAL nb_grad_batch schedule,
     and the column-group rotation follows the global sweep counter
-    ``rot0 + local`` when scheduled."""
+    ``rot0 + local`` when scheduled.  ``packed_gather`` routes the
+    neighbour gather through a complex64 lane pack at d=2, bit-exact
+    (see optim/dense.py::_attraction_sweep_sfT)."""
     from ..optim.dense import _attraction_sweep_sfT, _repulsion_kick_T
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
@@ -337,10 +340,13 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                 # (y_ownT = this device's block, gathers from the
                 # replicated snapshot) — single source, no drift.
                 yiT = jax.lax.dynamic_slice(yT, (0, r0), (dim, m_rows))
+                yz = (jax.lax.complex(yT[0], yT[1])
+                      if packed_gather and dim == 2 else None)
                 delta = _attraction_sweep_sfT(
                     yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
                     gd["m_revT"], scale_iT, gd["scale_jT"], gamma, b,
-                    f_min=f_min, mask=mask, mask_p=mask_p, y_ownT=yiT)
+                    f_min=f_min, mask=mask, mask_p=mask_p, y_ownT=yiT,
+                    yzT=yz)
                 return yiT + delta
 
             return branch
@@ -534,7 +540,10 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
                     f_min=float(p.dense_f_min),
                     mask_p=float(p.dense_mask_p),
                     seg_steps=seg_steps, batch0=batch0,
-                    use_rot0=len(schedule) > 1)
+                    use_rot0=len(schedule) > 1,
+                    packed_gather=(
+                        bool(getattr(p, "dense_packed_gather", False))
+                        and y0_r.shape[1] == 2))
             return cache[seg_steps]
 
         seg_keys = jax.random.split(k_p, n_segs)

@@ -289,3 +289,24 @@ def test_sharded_dense_optimize_schedule(rng, mesh):
             y0, g, npar,
             EmbedderParams(nb_grad_batch=8, n_sub_schedule=((3, 24),)),
             mesh)
+
+
+def test_sharded_packed_gather_bit_identical(rng, mesh):
+    """dense_packed_gather on the sharded production path must be
+    bit-identical to the pair gather (complex64 packs the two f32
+    coordinates exactly)."""
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.params import EmbedderParams
+    from annembed_tpu.parallel.sharded import sharded_dense_optimize
+    x = rng.normal(size=(256, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
+    p0 = EmbedderParams(nb_grad_batch=6,
+                        n_sub_schedule=((3, 12), (3, 24)))
+    p1 = EmbedderParams(nb_grad_batch=6, dense_packed_gather=True,
+                        n_sub_schedule=((3, 12), (3, 24)))
+    y_a = np.asarray(sharded_dense_optimize(y0, g, npar, p0, mesh))
+    y_b = np.asarray(sharded_dense_optimize(y0, g, npar, p1, mesh))
+    np.testing.assert_array_equal(y_a, y_b)
