@@ -186,6 +186,27 @@ emit({"bench": "gather_packing", "n": ng, "k": kg_probe,
       "bit_ok": ok_pack,
       "slices_per_s_pair": round(kg_probe * ng / w_pair / 1e6, 1)})
 
+# row-gather width scaling at NN-descent shapes: (m,) indices into an
+# (n, d) corpus at d=28, f32 vs bf16 vs int8.  If the wall scales with
+# BYTES, int8 candidate scoring (+exact rerank) cuts the NN-descent
+# gather 4x; if it is slice-count-bound (like the tiny-slice probe),
+# the lever is dead.  m sized to one rho-0.5 round's candidate volume
+# per slab.
+drow = 28
+xrow = jax.random.normal(jax.random.PRNGKey(4), (ng, drow), jnp.float32)
+ridx = jnp.asarray(rngp.integers(0, ng, size=(4 * ng,)), jnp.int32)
+for wtag, tab in (("f32", xrow), ("bf16", xrow.astype(jnp.bfloat16)),
+                  ("int8", (xrow * 16).astype(jnp.int8))):
+    @jax.jit
+    def grow(t, i):
+        return t[i]
+    _, w_row = timed(lambda t=tab: grow(t, ridx), f"rowgather {wtag}")
+    emit({"bench": "rowgather_width", "dtype": wtag, "n": ng, "d": drow,
+          "rows": int(ridx.shape[0]), "wall_s": round(w_row, 4),
+          "gbps": round(ridx.shape[0] * drow
+                        * jnp.dtype(tab.dtype).itemsize / w_row / 1e9,
+                        1)})
+
 # ---- 2. IVF join at 2M --------------------------------------------------
 rng = np.random.default_rng(7)
 n2 = N2M
