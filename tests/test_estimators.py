@@ -186,3 +186,27 @@ def test_quality_ignores_inherited_bf16_dtype(rng):
     assert q_f32.nb_without_match == q_bf.nb_without_match
     assert q_f32.mean_nb_matched == q_bf.mean_nb_matched
     assert q_f32.median_ratio == q_bf.median_ratio
+
+
+def test_quality_radius_k_compat_mode(rng):
+    """radius_k (the adjacency-equivalent radius emulation) must
+    default to nbng exactly and monotonically rescue no-match nodes as
+    it grows (a larger exact-NN radius can only add matches)."""
+    from annembed_tpu.estimators.quality import quality_estimate
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    x = rng.normal(size=(400, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=5)
+    g = KGraph(indices=idx, dists=dist)
+    y = rng.normal(size=(400, 2)).astype(np.float32)
+    q_def = quality_estimate(g, y, nbng=10)
+    q_same = quality_estimate(g, y, nbng=10, radius_k=10)
+    assert q_def.nb_without_match == q_same.nb_without_match
+    assert q_def.median_ratio == q_same.median_ratio
+    q_adj = quality_estimate(g, y, nbng=10, radius_k=25)
+    assert q_adj.nb_without_match <= q_def.nb_without_match
+    assert q_adj.mean_nb_matched >= q_def.mean_nb_matched
+    # sampled path honors radius_k too
+    q_s = quality_estimate(g, y, nbng=10, radius_k=25,
+                           sample_fraction=0.5, seed=3)
+    assert 0 <= q_s.nb_without_match <= 400
