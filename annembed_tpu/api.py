@@ -73,6 +73,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           embed_cache: Optional[str] = None,
           quality_fraction: float = 1.0,
           quality_nbng: int = 50,
+          quality_radius_compat: int = 0,
           return_graph: bool = False,
           cluster: int = 0):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
@@ -185,7 +186,8 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     if with_quality:
         q = emb.get_quality_estimate_from_edge_length(
             nbng=quality_nbng, sample_fraction=quality_fraction,
-            knn_params=knn_params)
+            knn_params=knn_params,
+            radius_k_compat=quality_radius_compat or None)
     y = np.asarray(y_dev)
     info = _finalize_info(emb.info)
     info["graph_build_time"] = graph_build_time

@@ -70,6 +70,12 @@ class QualityEstimate:
     #: weakly-matched nodes lowers the conditional mean), so the
     #: marginal disambiguates cross-run comparisons
     mean_nb_matched_marginal: float = 0.0
+    #: same headline counts at a second, larger radius_k (the
+    #: reference-compat adjacency-radius emulation) computed from the
+    #: SAME exact embedded search — None unless radius_k_compat was
+    #: passed.  Keys: radius_k, nb_without_match, frac_without_match,
+    #: mean_nb_matched, mean_nb_matched_marginal, median_ratio
+    compat: Optional[Dict[str, float]] = None
 
     def summary(self) -> Dict[str, float]:
         out = {
@@ -82,6 +88,8 @@ class QualityEstimate:
         }
         if self.nb_sampled != self.nb_nodes:
             out["nb_sampled"] = float(self.nb_sampled)
+        if self.compat is not None:
+            out.update({f"compat_{k}": v for k, v in self.compat.items()})
         out.update({f"radius_{k}": v for k, v in self.radii_quantiles.items()})
         out.update({f"ratio_{k}": v for k, v in self.ratio_quantiles.items()})
         return out
@@ -101,7 +109,8 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
                      knn_params: KnnParams | None = None,
                      sample_fraction: float = 1.0,
                      seed: int = 0,
-                     radius_k: int | None = None) -> QualityEstimate:
+                     radius_k: int | None = None,
+                     radius_k_compat: int | None = None) -> QualityEstimate:
     """Compute the neighborhood-conservation summary.
 
     Note the reference's transformed edge lengths take a running
@@ -123,11 +132,17 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     neighbourhood its doc says "roughly corresponds to 2-3x
     max_nb_connection" (embedder.rs:556-560) — to compare against its
     published rows, pass radius_k ~ 2.5*nbng as an explicit,
-    labeled emulation (see examples/mnist_fashion.py --expect)."""
+    labeled emulation (see examples/mnist_fashion.py --expect).
+
+    ``radius_k_compat`` additionally reports the headline counts at a
+    second (larger) radius index from the SAME exact embedded search —
+    one pass yields both the honest row and the reference-compat
+    emulation (``QualityEstimate.compat``) for ~free."""
     y = jnp.asarray(y, jnp.float32)
     n, k = g.indices.shape
     if radius_k is None:
         radius_k = nbng
+    k_search = max(radius_k, radius_k_compat or 0)
 
     sample_ids = None
     if sample_fraction < 1.0:
@@ -146,9 +161,11 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # radius then carries the (tiny) residual candidate-miss
         # probability, 0 = fully exact (default)
         tr = knn_params.topk_recall if knn_params is not None else 0.0
-        _, sd = knn_search_brute(y_rows, y, k=radius_k + 1,
+        _, sd = knn_search_brute(y_rows, y, k=k_search + 1,
                                  topk_recall=tr)
         radius = sd[:, radius_k]
+        radius_compat = (sd[:, radius_k_compat]
+                         if radius_k_compat else None)
     else:
         m = n
         y_rows = y
@@ -164,7 +181,7 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # recall — the dominant cost of this phase at 11M.
         if knn_params is None:
             knn_params = KnnParams(
-                knbn=radius_k, refine_rounds=0,
+                knbn=k_search, refine_rounds=0,
                 quantizer="grid" if y.shape[1] == 2 else "kmeans")
         else:
             # caller params carry the ORIGINAL-space tuning; keep the
@@ -179,13 +196,15 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
             # at d=2 is negligible next to the phase's gathers
             import dataclasses
             knn_params = dataclasses.replace(
-                knn_params, knbn=radius_k, refine_rounds=0,
+                knn_params, knbn=k_search, refine_rounds=0,
                 dtype="float32",
                 quantizer="grid" if y.shape[1] == 2
                 else knn_params.quantizer)
-        emb_graph = build_kgraph(y, radius_k, distance="DistL2",
+        emb_graph = build_kgraph(y, k_search, distance="DistL2",
                                  params=knn_params)
-        radius = emb_graph.dists[:, -1]                          # (n,)
+        radius = emb_graph.dists[:, radius_k - 1]                # (n,)
+        radius_compat = (emb_graph.dists[:, radius_k_compat - 1]
+                         if radius_k_compat else None)
         # drop the graph reference right away: its (n, nbng) indices +
         # dists are ~4.4 GB at 11M x 50 and only the radius column is
         # needed — holding them through the quantile sort below is what
@@ -196,6 +215,10 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     matched = lengths <= radius[:, None]                    # (m, k)
     nodes_matched = matched.sum(axis=1)                     # (m,)
     del matched
+    if radius_compat is not None:
+        nm_compat = (lengths <= radius_compat[:, None]).sum(axis=1)
+        ratio_med_compat = jnp.median(
+            lengths / jnp.maximum(radius_compat, 1e-30)[:, None])
 
     first_dist = lengths.min(axis=1)
     ratios = lengths / safe_r                               # (m, k)
@@ -206,16 +229,18 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     # ONE batched device->host readback of every scalar at the end
     # (each individual readback costs a round trip on remote-dispatch
     # runtimes, and the FIRST one in a process is extremely expensive —
-    # so never interleave conversions with device work).  The two
+    # so never interleave conversions with device work).  The
     # counts travel as int32 (exact up to 2^31; float32 readback lost
     # integer precision past 2^24 — n*k is ~550M at 11M x 50)
-    counts = jnp.stack([(nodes_matched == 0).sum(),
-                        nodes_matched.sum()]).astype(jnp.int32)
-    scalars = jnp.concatenate([
-        jnp.stack([ratio_flat.mean()]),
-        jnp.quantile(ratio_flat, qs),
-        jnp.quantile(radius, qs),
-    ])
+    count_list = [(nodes_matched == 0).sum(), nodes_matched.sum()]
+    scalar_list = [jnp.stack([ratio_flat.mean()]),
+                   jnp.quantile(ratio_flat, qs),
+                   jnp.quantile(radius, qs)]
+    if radius_compat is not None:
+        count_list += [(nm_compat == 0).sum(), nm_compat.sum()]
+        scalar_list.append(jnp.stack([ratio_med_compat]))
+    counts = jnp.stack(count_list).astype(jnp.int32)
+    scalars = jnp.concatenate(scalar_list)
     ratio_by_node = ratios.mean(axis=1)
     vals_i, vals = jax.device_get((counts, scalars))
 
@@ -232,6 +257,18 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
     radii_q = {f"q{q:g}": float(v) for q, v in
                zip(_QS, vals[1 + nq:1 + 2 * nq])}
 
+    compat = None
+    if radius_compat is not None:
+        nw_c = int(vals_i[2])
+        compat = {
+            "radius_k": float(radius_k_compat),
+            "nb_without_match": float(nw_c if m == n
+                                      else int(round(nw_c / m * n))),
+            "frac_without_match": nw_c / m,
+            "mean_nb_matched": float(int(vals_i[3]) / max(m - nw_c, 1)),
+            "mean_nb_matched_marginal": float(int(vals_i[3]) / m),
+            "median_ratio": float(vals[1 + 2 * len(_QS)]),
+        }
     est = QualityEstimate(
         nb_nodes=n, nbng_used=k, nbng_target=nbng,
         nb_without_match=nb_without, mean_nb_matched=mean_matched,
@@ -242,7 +279,8 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         first_dist=first_dist,
         nb_sampled=m, frac_without_match=frac_without,
         sample_ids=sample_ids,
-        mean_nb_matched_marginal=float(int(vals_i[1]) / m))
+        mean_nb_matched_marginal=float(int(vals_i[1]) / m),
+        compat=compat)
     logger.info(
         "quality: nb_without_match=%d (frac %.4f of %d sampled) "
         "mean_matched=%.3f median_ratio=%.3e mean_ratio=%.3e",

@@ -237,10 +237,12 @@ class Embedder:
 
     def get_quality_estimate_from_edge_length(self, nbng: int = 50,
                                               sample_fraction: float = 1.0,
-                                              knn_params=None):
+                                              knn_params=None,
+                                              radius_k_compat=None):
         from ..estimators.quality import quality_estimate
         g = self.get_kgraph()
         return quality_estimate(g, self.embedding, nbng=nbng,
                                 knn_params=knn_params,
                                 sample_fraction=sample_fraction,
-                                seed=self.params.seed)
+                                seed=self.params.seed,
+                                radius_k_compat=radius_k_compat)

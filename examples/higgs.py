@@ -112,6 +112,11 @@ def main():
     ap.add_argument("--quality-nbng", type=int, default=100,
                     help="embedded neighbourhood size (reference Higgs "
                          "table uses 100, README.md:148-160)")
+    ap.add_argument("--quality-radius-compat", type=int, default=250,
+                    help="also report conservation at this radius_k "
+                         "(reference adjacency-radius emulation, "
+                         "~2.5x nbng; 0 = off) from the same exact "
+                         "embedded search")
     ap.add_argument("--quality-fraction", type=float, default=0.0,
                     help="query-node subsample for the quality estimate; "
                          "0 = auto (min(1, 200k/n))")
@@ -195,6 +200,7 @@ def main():
             hierarchy_fraction=args.fraction, scale=0.75,
             knn_params=kp, with_quality=args.quality,
             quality_nbng=args.quality_nbng, quality_fraction=qfrac,
+            quality_radius_compat=args.quality_radius_compat,
             # eager: dump right after construction like the reference's
             # HnswIo (higgs.rs:466-474) — a crash in the hour-long
             # optimize must not lose the graph build
