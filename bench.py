@@ -147,11 +147,18 @@ def _open_channel() -> None:
     threads)."""
     import jax.numpy as jnp
     t0 = time.monotonic()
-    try:
-        _ = float(jnp.ones(()))
-    except Exception as exc:  # pragma: no cover - tunnel-dependent
-        _note(f"channel-setup readback failed: {exc!r}")
-        return
+    # the first readback can fail transiently (ABORTED tunnel RPC
+    # observed 2026-08-19 after a 222 s lazily-acked cold pass); retry
+    # until the hard deadline — a later attempt typically succeeds
+    while True:
+        try:
+            _ = float(jnp.ones(()))
+            break
+        except Exception as exc:  # pragma: no cover - tunnel-dependent
+            _note(f"channel-setup readback failed: {exc!r}; retrying")
+            if HARD_DEADLINE_S - (time.monotonic() - T_START) < 30.0:
+                return
+            time.sleep(5.0)
     _STATE["channel_s"] = time.monotonic() - t0
     _note(f"channel ready after {_STATE['channel_s']:.1f}s")
     _CHANNEL_READY.set()
