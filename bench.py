@@ -286,6 +286,14 @@ def _main_inner():
     # from an idle device
     _ = float(jnp.sum(x[0, :8]))
 
+    # the FIRST post-channel pipeline execution pays a once-per-process
+    # ~12 s penalty (measured 2026-08-19: rep0 13.7 s vs rep1 1.4 s for
+    # the identical program; a tiny drain op does not absorb it) — run
+    # one warm pass so the timed pass below measures steady state
+    _, _, t_warm = run_once(x, sync_element=True)
+    _STATE["cold_wall"] = min(_STATE["cold_wall"], t_warm["total"])
+    _note(f"warm pass {t_warm['total']:.1f}s; timing steady state")
+
     y, g, t2 = run_once(x, sync_element=True)
     wall = t2["total"]
     _STATE["wall"] = wall
