@@ -328,27 +328,21 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
     kick's partner is a uniformly random node, exactly like the strided
     pool of ``_repulsion_sweep_rolled``; only the traversal order
     differs.  Kicks stay SEQUENTIAL (embedder.rs:1244-1299) against the
-    pre-sweep snapshot."""
+    pre-sweep snapshot.
+
+    Implemented as the whole-array case of ``_repulsion_block_T``: ONE
+    wraparound-extended copy of the snapshot per sweep, then each
+    kick's partner is a fusible dynamic slice of it — the per-kick
+    roll (2 slices + concat, n_neg x per sweep) was the sweep's kernel-
+    count floor at bench scale (the arrays are tiny, so the wall is
+    per-kernel overhead, not bytes; PERF.md round-4 sweep study).
+    Partner values are bit-identical to the roll formulation."""
     d, n = yT.shape
-    pos = jnp.arange(n, dtype=jnp.int32)
-    stride = max(1, n // n_neg)
-    # All kicks pair against the PRE-SWEEP snapshot, so everything that
-    # does not depend on the sequentially-updated yi is batched into
-    # one op per sweep instead of n_neg small ones (the sweep is
-    # dispatch/op-overhead-bound at bench scale):
-    #   shifts (n_neg,), partner ids (n_neg, n), neighbour-exclusion
-    #   masks (n_neg, n).
-    shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
-    nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, n)
-    ok_all = (nid != pos[None, :]) & jnp.logical_not(
-        (nid[:, None, :] == idxT[None, :, :]).any(1))   # (n_neg, n)
-    yi = yT
-    for t in range(n_neg):
-        yk_t = jnp.roll(yT, -shifts[t], axis=1)         # snapshot roll
-        nw_t = (None if neg_weight is None
-                else jnp.roll(neg_weight, -shifts[t])[None, :])
-        yi = _repulsion_kick_T(yi, yk_t, emb_scaleT, gamma, b,
-                               ok_all[t][None, :], nw_t)
+    yT_ext = jnp.concatenate([yT, yT], axis=1)
+    nw_ext = (None if neg_weight is None
+              else jnp.concatenate([neg_weight, neg_weight]))
+    yi = _repulsion_block_T(yT_ext, yT, 0, n, offset, idxT, emb_scaleT,
+                            gamma, b, n_neg, neg_weight_ext=nw_ext)
     return yi - yT
 
 

@@ -74,6 +74,7 @@ _STATE: dict = {"printed_level": 0, "wall": None, "cold_wall": None,
                 "done": False, "channel_s": None}
 _LOCK = threading.Lock()
 _CHANNEL_READY = threading.Event()
+_CHANNEL_FAILED = threading.Event()
 
 
 def _note(msg: str) -> None:
@@ -98,15 +99,16 @@ def _headline(wall: float, extra: dict | None = None) -> str:
 
 
 def _print_fallback(reason: str = "deadline before first measurement") \
-        -> None:
-    """Emit the best record available right now.  A better record than
-    the one already printed IS re-emitted (e.g. the soft deadline
-    printed an error record while the cold pass was still running and
-    the cold number became available later) — the driver parses the
-    tail, so the upgrade wins."""
+        -> bool:
+    """Emit the best record available right now; returns whether a
+    record was actually (re)printed.  A better record than the one
+    already printed IS re-emitted (e.g. the soft deadline printed an
+    error record while the cold pass was still running and the cold
+    number became available later) — the driver parses the tail, so
+    the upgrade wins."""
     with _LOCK:
         if _STATE["wall"] is not None:
-            return                      # honest headline already out
+            return False                # honest headline already out
         if _STATE["cold_wall"] is not None:
             # honest but compile-inclusive (and possibly lazily-acked)
             # cold-pass wall; labeled so the judge can tell
@@ -116,9 +118,10 @@ def _print_fallback(reason: str = "deadline before first measurement") \
             level = 1
             rec = _headline(-1.0, {"error": reason})
         if level <= _STATE["printed_level"]:
-            return
+            return False
         _STATE["printed_level"] = level
     print(rec, flush=True)
+    return True
 
 
 def _watchdog() -> None:
@@ -127,9 +130,12 @@ def _watchdog() -> None:
         time.sleep(min(max(_left(), 0.1), 2.0))
     if _STATE["done"]:
         return
-    _note("WATCHDOG: soft deadline — emitting best available record, "
-          "still trying for the honest number")
-    _print_fallback()
+    if _print_fallback():
+        _note("WATCHDOG: soft deadline — emitted best available "
+              "record, still trying for the honest number")
+    else:
+        _note("WATCHDOG: soft deadline — best record already in the "
+              "tail, still trying for the honest number")
     # HARD deadline: exit 0 so the driver sees a clean rc
     while not _STATE["done"]:
         hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
@@ -159,6 +165,10 @@ def _open_channel() -> None:
         except Exception as exc:  # pragma: no cover - tunnel-dependent
             _note(f"channel-setup readback failed: {exc!r}; retrying")
             if HARD_DEADLINE_S - (time.monotonic() - T_START) < 30.0:
+                # give up: flag it so the main thread fails fast
+                # instead of blocking out its full remaining timeout
+                _note("channel setup abandoned (<30s to hard deadline)")
+                _CHANNEL_FAILED.set()
                 return
             time.sleep(5.0)
     _STATE["channel_s"] = time.monotonic() - t0
@@ -280,8 +290,14 @@ def _main_inner():
     # thread only so the hard deadline can abandon it), leaving room
     # for the timed run (~3 s) + printing
     threading.Thread(target=_open_channel, daemon=True).start()
-    hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
-    _CHANNEL_READY.wait(timeout=max(hard_left - 20.0, 0.0))
+    # reserve 40 s before the hard deadline: warm pass (~12-14 s) +
+    # timed pass (~3 s) + prints must fit after the channel comes up
+    deadline_at = T_START + HARD_DEADLINE_S - 40.0
+    while not (_CHANNEL_READY.is_set() or _CHANNEL_FAILED.is_set()):
+        left = deadline_at - time.monotonic()
+        if left <= 0:
+            break
+        _CHANNEL_READY.wait(timeout=min(left, 2.0))
     if not _CHANNEL_READY.is_set():
         _note("channel never came up; emitting cold-pass fallback")
         _print_fallback()
@@ -295,10 +311,16 @@ def _main_inner():
     # the FIRST post-channel pipeline execution pays a once-per-process
     # ~12 s penalty (measured 2026-08-19: rep0 13.7 s vs rep1 1.4 s for
     # the identical program; a tiny drain op does not absorb it) — run
-    # one warm pass so the timed pass below measures steady state
-    _, _, t_warm = run_once(x, sync_element=True)
-    _STATE["cold_wall"] = min(_STATE["cold_wall"], t_warm["total"])
-    _note(f"warm pass {t_warm['total']:.1f}s; timing steady state")
+    # one warm pass so the timed pass below measures steady state.
+    # When the channel came up late, skip it (a mildly penalized timed
+    # pass beats losing the honest headline at the hard deadline).
+    hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
+    if hard_left > 25.0:
+        _, _, t_warm = run_once(x, sync_element=True)
+        _note(f"warm pass {t_warm['total']:.1f}s; timing steady state")
+    else:
+        _note(f"skipping warm pass ({hard_left:.0f}s to hard deadline)"
+              "; timing directly")
 
     y, g, t2 = run_once(x, sync_element=True)
     wall = t2["total"]
@@ -330,14 +352,26 @@ def _main_inner():
     from annembed_tpu.estimators.quality import quality_estimate
     sub = np.linspace(0, N - 1, 2000).astype(np.int32)
     recall = sampled_exact_recall(x, g, sample_ids=sub)
-    q = quality_estimate(g, y, nbng=50)
-    print(_headline(wall, {
+    # honest nbng-NN radius AND the reference-compat adjacency-radius
+    # emulation (radius_k ~ 2.5*nbng, embedder.rs:556-560) from the
+    # same exact embedded search — the compat row is the one comparable
+    # to the reference's published conservation numbers
+    # (embedder.rs:588-599); see BASELINE.md radius-semantics caveat
+    q = quality_estimate(g, y, nbng=50, radius_k_compat=125)
+    extra = {
         "recall": round(recall, 4),
         "no_match": int(q.nb_without_match),
         "mean_matched": round(q.mean_nb_matched, 3),
         "median_ratio": round(q.median_ratio, 3),
         "channel_s": round(_STATE["channel_s"] or -1.0, 1),
-    }), flush=True)
+    }
+    if q.compat is not None:
+        extra.update({
+            "compat_no_match": int(q.compat["nb_without_match"]),
+            "compat_mean_matched": round(q.compat["mean_nb_matched"], 3),
+            "compat_median_ratio": round(q.compat["median_ratio"], 3),
+        })
+    print(_headline(wall, extra), flush=True)
     _STATE["done"] = True
     # hard-exit: a normal return aborts in PJRT C++ teardown (rc 134)
     # if the channel thread is still blocked in a readback
