@@ -75,7 +75,9 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
           quality_nbng: int = 50,
           quality_radius_compat: int = 0,
           return_graph: bool = False,
-          cluster: int = 0):
+          cluster: int = 0,
+          n_devices: int = 0,
+          mesh=None):
     """Full kNN + CE-optimized embedding (reference python.rs:109,
     bin/embed.rs main flow :402-444).
 
@@ -99,7 +101,18 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     that min_cluster_size; labels/probabilities land in
     ``info["cluster"]`` and, next to ``outfile``, in ``clusters.csv``
     (completes the reference's hdbscan stub as a pipeline by-product).
+
+    ``n_devices`` > 1 (or an explicit 1-D 'data' ``mesh``) runs the
+    WHOLE pipeline multi-chip: graph build (sharded brute/IVF joins,
+    bit-identical to single-chip), spectral init (entry-sharded COO
+    SpMM + psum), dense CE optimization (row shards, one all_gather
+    per half-sweep over ICI) and the quality estimator's embedded
+    rebuild — SURVEY §2.3's first-class multi-device path.  Graph /
+    embedding checkpoints stay host-side npz and are layout-agnostic.
     """
+    if mesh is None and n_devices > 1:
+        from .parallel.sharded import make_mesh
+        mesh = make_mesh(n_devices)
     x = _load(csv, delim, quality_sampling)
     if params is None:
         params = EmbedderParams()
@@ -134,12 +147,12 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             proj = build_projection(x, nbng,
                                     sample_fraction=hierarchy_fraction,
                                     distance=distance, params=knn_params,
-                                    seed=seed)
+                                    seed=seed, mesh=mesh)
             if graph_cache and graph_cache_eager:
                 from .io.checkpoint import save_projection
                 save_projection(graph_cache, proj)
         graph_build_time = time.perf_counter() - t0
-        emb = Embedder.from_hkgraph(proj, params)
+        emb = Embedder.from_hkgraph(proj, params, mesh=mesh)
     else:
         # graph checkpoint/resume: the TPU analogue of the reference's
         # HnswIo dump/reload (examples/higgs.rs:397-474)
@@ -148,14 +161,20 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             g = load_kgraph(graph_cache, expect_n=x.shape[0])
             logger.info("loaded kNN graph checkpoint from %s", graph_cache)
         else:
-            g = build_kgraph(x, nbng, distance=distance, params=knn_params)
+            if mesh is not None:
+                from .parallel.sharded_knn import sharded_build_kgraph
+                g = sharded_build_kgraph(x, nbng, distance=distance,
+                                         params=knn_params, mesh=mesh)
+            else:
+                g = build_kgraph(x, nbng, distance=distance,
+                                 params=knn_params)
             if graph_cache and graph_cache_eager:
                 from .io.checkpoint import save_kgraph
                 save_kgraph(graph_cache, g)
                 logger.info("eagerly saved kNN graph checkpoint to %s",
                             graph_cache)
         graph_build_time = time.perf_counter() - t0
-        emb = Embedder.new(g, params)
+        emb = Embedder.new(g, params, mesh=mesh)
     # ORDER MATTERS: every device phase (embed, then the quality
     # estimator's second kNN build) runs before the first device->host
     # readback — a readback permanently degrades all later dispatches
@@ -249,10 +268,14 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
                hierarchy_fraction: float = 0.05,
                knn_params: Optional[KnnParams] = None,
                quality_sampling: float = 1.0, delim: str = ",",
-               seed: int = 0):
+               seed: int = 0, n_devices: int = 0, mesh=None):
     """Diffusion-maps-only embedding (reference python.rs:201,
     bin/dmapembed.rs:390-432).  With layer > 0 only the subsample graph
-    is embedded (dmapembed.rs:415-422)."""
+    is embedded (dmapembed.rs:415-422).  ``n_devices``/``mesh`` run the
+    graph build and the spectral SVD sharded (see ``embed``)."""
+    if mesh is None and n_devices > 1:
+        from .parallel.sharded import make_mesh
+        mesh = make_mesh(n_devices)
     x = _load(csv, delim, quality_sampling)
     dp = DiffusionParams(asked_dim=dim, alfa=alfa, beta=beta, t=time_param,
                          gnbn=nbng)
@@ -266,13 +289,19 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
     if layer > 0:
         proj = build_projection(x, nbng, sample_fraction=hierarchy_fraction,
                                 distance=distance, params=knn_params,
-                                seed=seed)
-        y = np.asarray(dm.embed_from_kgraph(proj.small_graph))
+                                seed=seed, mesh=mesh)
+        y = np.asarray(dm.embed_from_kgraph(proj.small_graph, mesh=mesh))
         info = {"nb_embedded": int(proj.nb_small),
                 "sample_ids": np.asarray(proj.sample_ids)}
     else:
-        g = build_kgraph(x, nbng, distance=distance, params=knn_params)
-        y = np.asarray(dm.embed_from_kgraph(g))
+        if mesh is not None:
+            from .parallel.sharded_knn import sharded_build_kgraph
+            g = sharded_build_kgraph(x, nbng, distance=distance,
+                                     params=knn_params, mesh=mesh)
+        else:
+            g = build_kgraph(x, nbng, distance=distance,
+                             params=knn_params)
+        y = np.asarray(dm.embed_from_kgraph(g, mesh=mesh))
         info = {"nb_embedded": int(x.shape[0])}
     info["total_time"] = time.perf_counter() - t0
     if outfile:

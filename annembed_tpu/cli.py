@@ -38,6 +38,10 @@ def _common_args(p: argparse.ArgumentParser) -> None:
                    help="NN-descent candidate sampling fraction "
                         "(Dong's rho-sampling; 1 = full join)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-devices", type=int, default=0,
+                   help=">1 runs the pipeline sharded over that many "
+                        "devices (1-D data mesh: graph build, spectral "
+                        "init, CE optimize, quality)")
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -90,7 +94,7 @@ def main_embed(argv=None) -> int:
                     graph_cache_eager=args.graph_cache_eager,
                     quality_nbng=args.quality_nbng,
                     quality_fraction=args.quality_fraction,
-                    cluster=args.cluster)
+                    cluster=args.cluster, n_devices=args.n_devices)
     out = {"n": int(y.shape[0]), "dim": int(y.shape[1]),
            **{k: v for k, v in info.items()
               if isinstance(v, (int, float, dict))}}
@@ -141,7 +145,7 @@ def main_dmapembed(argv=None) -> int:
                          layer=args.layer,
                          hierarchy_fraction=args.fraction, knn_params=kp,
                          quality_sampling=args.sampling, delim=args.delim,
-                         seed=args.seed)
+                         seed=args.seed, n_devices=args.n_devices)
     print(json.dumps({"n": int(y.shape[0]), "dim": int(y.shape[1]),
                       "total_time": info["total_time"]}))
     return 0

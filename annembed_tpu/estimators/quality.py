@@ -110,7 +110,8 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
                      sample_fraction: float = 1.0,
                      seed: int = 0,
                      radius_k: int | None = None,
-                     radius_k_compat: int | None = None) -> QualityEstimate:
+                     radius_k_compat: int | None = None,
+                     mesh=None) -> QualityEstimate:
     """Compute the neighborhood-conservation summary.
 
     Note the reference's transformed edge lengths take a running
@@ -200,8 +201,17 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
                 dtype="float32",
                 quantizer="grid" if y.shape[1] == 2
                 else knn_params.quantizer)
-        emb_graph = build_kgraph(y, k_search, distance="DistL2",
-                                 params=knn_params)
+        if mesh is not None:
+            # multi-chip: the embedded-space build (this phase's
+            # dominant cost at 11M) rides the same sharded joins as
+            # the original-space build — bit-identical results
+            from ..parallel.sharded_knn import sharded_build_kgraph
+            emb_graph = sharded_build_kgraph(y, k_search, mesh,
+                                             distance="DistL2",
+                                             params=knn_params)
+        else:
+            emb_graph = build_kgraph(y, k_search, distance="DistL2",
+                                     params=knn_params)
         radius = emb_graph.dists[:, radius_k - 1]                # (n,)
         radius_compat = (emb_graph.dists[:, radius_k_compat - 1]
                          if radius_k_compat else None)

@@ -51,19 +51,32 @@ class GraphLaplacian:
     def to_dense(self) -> jnp.ndarray:
         return coo_to_dense(self.rows, self.cols, self.vals, self.n)
 
-    def do_svd(self, asked_dim: int, key=None) -> SvdResult:
+    def do_svd(self, asked_dim: int, key=None, mesh=None) -> SvdResult:
         """Exact SVD below FULL_SVD_SIZE_LIMIT, randomized above
         (reference graphlaplace.rs:127 ``do_svd`` dispatch; the
-        randomized path uses rank 20 / 5 iterations, :115)."""
+        randomized path uses rank 20 / 5 iterations, :115).
+
+        With ``mesh`` (a 1-D 'data' jax mesh), the randomized path's
+        COO SpMM is sharded over the mesh devices
+        (parallel/sharded_svd.py) — the spectral init then runs
+        multi-chip like every other pipeline phase."""
         if self.n <= FULL_SVD_SIZE_LIMIT:
             res = full_svd_dense(self.to_dense())
         else:
             rank = max(asked_dim, 20)
             if key is None:
                 key = jax.random.PRNGKey(4664397)
-            res = randomized_svd_coo(self.rows, self.cols, self.vals, key,
-                                     n=self.n, rank=rank, n_iter=5,
-                                     n_oversample=10)
+            if mesh is not None:
+                from ..parallel.sharded_svd import \
+                    sharded_randomized_svd_coo
+                res = sharded_randomized_svd_coo(
+                    self.rows, self.cols, self.vals, key, n=self.n,
+                    rank=rank, mesh=mesh, n_iter=5, n_oversample=10)
+            else:
+                res = randomized_svd_coo(self.rows, self.cols,
+                                         self.vals, key, n=self.n,
+                                         rank=rank, n_iter=5,
+                                         n_oversample=10)
         self.svd_res = res
         return res
 

@@ -66,8 +66,11 @@ class KGraphProjection:
 def build_projection(x, knbn: int, sample_fraction: float = 0.05,
                      distance: str = "DistL2",
                      params: Optional[KnnParams] = None,
-                     seed: int = 0) -> KGraphProjection:
-    """Build small graph, large graph and projection (kgproj.rs:59)."""
+                     seed: int = 0, mesh=None) -> KGraphProjection:
+    """Build small graph, large graph and projection (kgproj.rs:59).
+
+    ``mesh`` routes both graph builds through the sharded joins
+    (parallel/sharded_knn.py — bit-identical to single-chip)."""
     x = jnp.asarray(x)
     n = x.shape[0]
     m = max(knbn + 1, int(round(n * sample_fraction)))
@@ -78,8 +81,15 @@ def build_projection(x, knbn: int, sample_fraction: float = 0.05,
 
     logger.info("hierarchy: %d sampled of %d (fraction %.3f)", m, n,
                 m / n)
-    small = build_kgraph(xs, knbn, distance=distance, params=params)
-    large = build_kgraph(x, knbn, distance=distance, params=params)
+    if mesh is not None:
+        from ..parallel.sharded_knn import sharded_build_kgraph
+        small = sharded_build_kgraph(xs, knbn, mesh, distance=distance,
+                                     params=params)
+        large = sharded_build_kgraph(x, knbn, mesh, distance=distance,
+                                     params=params)
+    else:
+        small = build_kgraph(xs, knbn, distance=distance, params=params)
+        large = build_kgraph(x, knbn, distance=distance, params=params)
 
     # top-1 of every point against the sample set; on TPU the fused
     # pallas kernel streams corpus tiles without materializing the

@@ -318,7 +318,8 @@ def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
 
 
 def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
-                             b: float, n_neg: int, neg_weight=None):
+                             b: float, n_neg: int, neg_weight=None,
+                             neighbor_exclusion: bool = True):
     """Transposed identity-pool repulsion: kick ``t`` pairs position i
     with position (i + offset + t*(n//n_neg)) mod n — a pure roll of
     the coordinate block along the n axis, zero gathers and zero
@@ -342,7 +343,8 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
     nw_ext = (None if neg_weight is None
               else jnp.concatenate([neg_weight, neg_weight]))
     yi = _repulsion_block_T(yT_ext, yT, 0, n, offset, idxT, emb_scaleT,
-                            gamma, b, n_neg, neg_weight_ext=nw_ext)
+                            gamma, b, n_neg, neg_weight_ext=nw_ext,
+                            neighbor_exclusion=neighbor_exclusion)
     return yi - yT
 
 
@@ -365,7 +367,8 @@ def _repulsion_kick_T(yi, yk_t, scaleT, gamma, b: float, ok_mask, nw_t):
 
 def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
                        scale_blkT, gamma, b: float, n_neg: int,
-                       neg_weight_ext=None):
+                       neg_weight_ext=None,
+                       neighbor_exclusion: bool = True):
     """Sequential repulsion kicks for one contiguous node block.
 
     Kick ``t`` pairs global position p with (p + offset + t*(n//n_neg))
@@ -382,8 +385,17 @@ def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
     stride = max(1, n // n_neg)
     shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
     nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, nb)
-    ok_all = (nid != pos[None, :]) & jnp.logical_not(
-        (nid[:, None, :] == idxT_blk_full[None, :, :]).any(1))
+    ok_all = nid != pos[None, :]
+    if neighbor_exclusion:
+        # the reference rejects negatives that are neighbours of i
+        # (embedder.rs:1246-1252).  This (n_neg, k, nb) compare is the
+        # sweep's single biggest elementwise op; skipping it
+        # (dense_neighbor_exclusion=False) admits a neighbour as a
+        # negative with probability k/n per kick — an O(k/n) repulsion
+        # surplus, negligible at production n but OFF by default to
+        # preserve reference semantics.
+        ok_all &= jnp.logical_not(
+            (nid[:, None, :] == idxT_blk_full[None, :, :]).any(1))
     yi = y_blk
     for t in range(n_neg):
         start = (lo + shifts[t]) % n
@@ -437,7 +449,8 @@ def reverse_edge_weights(indices, w):
                                              "seg_steps", "f_min",
                                              "mask_p", "batch0",
                                              "use_rot0", "n_blocks",
-                                             "packed_gather"))
+                                             "packed_gather",
+                                             "neighbor_exclusion"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
@@ -446,7 +459,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    seg_steps: int = 0, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
                    rot0=0, use_rot0: bool = False, n_blocks: int = 1,
-                   packed_gather: bool = False):
+                   packed_gather: bool = False,
+                   neighbor_exclusion: bool = True):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -548,7 +562,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                 y_blk = _repulsion_block_T(
                     yT_ext, y_blk, lo, n, offset, gd["idxT_full"],
                     gd["scale_iT"], gamma, b, n_neg,
-                    neg_weight_ext=nw_ext)
+                    neg_weight_ext=nw_ext,
+                    neighbor_exclusion=neighbor_exclusion)
                 return jax.lax.dynamic_update_slice(yT, y_blk, (0, lo))
 
             return branch
@@ -616,9 +631,10 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
             yT = jax.lax.switch(rot_of(step_idx, local_idx), branches_t,
                                 yT, gamma, mask)
             offset = jax.random.randint(kk, (), 0, n)
-            yT = yT + _repulsion_sweep_rolledT(yT, offset, idxT_full,
-                                               scale_iT, gamma, b, n_neg,
-                                               neg_weight=neg_weight)
+            yT = yT + _repulsion_sweep_rolledT(
+                yT, offset, idxT_full, scale_iT, gamma, b, n_neg,
+                neg_weight=neg_weight,
+                neighbor_exclusion=neighbor_exclusion)
             return yT, None
 
         yT, _ = jax.lax.scan(body_t, y0.astype(jnp.float32).T,
@@ -704,7 +720,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    scatter_free: bool = True, f_min: float = 1e-3,
                    mask_p: float = 1.0, batch0: int = 0,
                    batch1: int | None = None, rot_base: int | None = None,
-                   n_blocks: int = 1, packed_gather: bool = False):
+                   n_blocks: int = 1, packed_gather: bool = False,
+                   neighbor_exclusion: bool = True):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -745,7 +762,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                                  else jnp.int32(rot_base + si * seg)),
                            use_rot0=rot_base is not None,
                            n_blocks=n_blocks,
-                           packed_gather=packed_gather)
+                           packed_gather=packed_gather,
+                           neighbor_exclusion=neighbor_exclusion)
     return y
 
 
@@ -887,7 +905,10 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                              batch1=batch_cursor + nb_p,
                              rot_base=(rot if len(schedule) > 1
                                        else None),
-                             n_blocks=n_blocks, packed_gather=packed)
+                             n_blocks=n_blocks, packed_gather=packed,
+                             neighbor_exclusion=bool(getattr(
+                                 params, "dense_neighbor_exclusion",
+                                 True)))
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed

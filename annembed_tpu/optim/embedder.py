@@ -58,6 +58,11 @@ class Embedder:
     kgraph: Optional[KGraph] = None
     hkgraph: Optional[KGraphProjection] = None
     params: EmbedderParams = dataclasses.field(default_factory=EmbedderParams)
+    #: optional 1-D 'data' jax mesh: the spectral init's SpMM and the
+    #: dense CE optimizer run sharded over it (SURVEY §2.3 first-class
+    #: multi-device path; single-chip semantics preserved — the sharded
+    #: optimizer shares prepare_dense_inputs and the seed stream)
+    mesh: object = None
 
     initial_embedding: Optional[jnp.ndarray] = None
     embedding: Optional[jnp.ndarray] = None
@@ -69,13 +74,14 @@ class Embedder:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def new(kgraph: KGraph, params: EmbedderParams) -> "Embedder":
-        return Embedder(kgraph=kgraph, params=params)
+    def new(kgraph: KGraph, params: EmbedderParams,
+            mesh=None) -> "Embedder":
+        return Embedder(kgraph=kgraph, params=params, mesh=mesh)
 
     @staticmethod
-    def from_hkgraph(proj: KGraphProjection,
-                     params: EmbedderParams) -> "Embedder":
-        return Embedder(hkgraph=proj, params=params)
+    def from_hkgraph(proj: KGraphProjection, params: EmbedderParams,
+                     mesh=None) -> "Embedder":
+        return Embedder(hkgraph=proj, params=params, mesh=mesh)
 
     # ------------------------------------------------------------------
     def embed(self) -> jnp.ndarray:
@@ -93,7 +99,7 @@ class Embedder:
         dparams = DiffusionParams(asked_dim=dim, alfa=0.5, beta=-0.1,
                                   t=5.0, gnbn=12)
         dm = DiffusionMaps(params=dparams)
-        return dm.embed_from_kgraph(g)
+        return dm.embed_from_kgraph(g, mesh=self.mesh)
 
     def _random_initial(self, n: int, dim: int, size: float) -> jnp.ndarray:
         key = jax.random.PRNGKey(self.params.seed + 17)
@@ -141,7 +147,8 @@ class Embedder:
         first_params = dataclasses.replace(
             p, nb_grad_batch=p.grad_factor * p.nb_grad_batch,
             grad_step=1.0, hierarchy_layer=0, n_sub_schedule=None)
-        first = Embedder(kgraph=proj.small_graph, params=first_params)
+        first = Embedder(kgraph=proj.small_graph, params=first_params,
+                         mesh=self.mesh)
         y_small = first.one_step_embed()
         self.info["first_step"] = first.info
 
@@ -187,9 +194,21 @@ class Embedder:
                 # at the pipeline's final sync point.
                 info = {"initial_ce": ce_value_dense(
                     init, g, npar.probas, npar.scale, p.b)}
-                y, dinfo = run_dense_optimization(init, g, npar, p,
-                                                  n_sub=p.n_sub,
-                                                  neg_weights=hub)
+                if self.mesh is not None:
+                    from ..parallel.sharded import sharded_dense_optimize
+                    y = sharded_dense_optimize(init, g, npar, p,
+                                               self.mesh,
+                                               neg_weights=hub)
+                    dinfo = {"optimizer": "dense",
+                             "n_devices": int(self.mesh.devices.size),
+                             "n_sub": p.n_sub}
+                    if getattr(p, "n_sub_schedule", None):
+                        dinfo["n_sub_schedule"] = tuple(
+                            tuple(ph) for ph in p.n_sub_schedule)
+                else:
+                    y, dinfo = run_dense_optimization(init, g, npar, p,
+                                                      n_sub=p.n_sub,
+                                                      neg_weights=hub)
                 info.update(dinfo)
                 info["final_ce"] = ce_value_dense(
                     y, g, npar.probas, npar.scale, p.b)
@@ -245,4 +264,5 @@ class Embedder:
                                 knn_params=knn_params,
                                 sample_fraction=sample_fraction,
                                 seed=self.params.seed,
-                                radius_k_compat=radius_k_compat)
+                                radius_k_compat=radius_k_compat,
+                                mesh=self.mesh)

@@ -130,6 +130,14 @@ class EmbedderParams:
     #: is per-element- or per-slice-bound (microbench `gather_packing`
     #: in tools/microbench_tpu.py decides; off until measured).
     dense_packed_gather: bool = False
+    #: reject negatives that are neighbours of the kicked node
+    #: (reference embedder.rs:1246-1252).  The (n_neg, k, n) membership
+    #: compare is the sweep's largest elementwise op; False skips it,
+    #: admitting a neighbour as a negative with probability k/n per
+    #: kick (an O(k/n) repulsion surplus — measurable only as a wall
+    #: lever, see the round-4 sweep study).  True = reference
+    #: semantics.
+    dense_neighbor_exclusion: bool = True
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

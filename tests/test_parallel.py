@@ -310,3 +310,131 @@ def test_sharded_packed_gather_bit_identical(rng, mesh):
     y_a = np.asarray(sharded_dense_optimize(y0, g, npar, p0, mesh))
     y_b = np.asarray(sharded_dense_optimize(y0, g, npar, p1, mesh))
     np.testing.assert_array_equal(y_a, y_b)
+
+
+def test_sharded_svd_coo_parity(rng, mesh):
+    """Entry-sharded COO SpMM SVD matches the single-chip randomized
+    SVD to f32 roundoff (the psum reassociates the scatter-add sums,
+    so bit-exactness is not expected)."""
+    from annembed_tpu.graph.kgraph import symmetric_coo
+    from annembed_tpu.linalg.rsvd import randomized_svd_coo
+    from annembed_tpu.parallel.sharded_svd import sharded_randomized_svd_coo
+    x = rng.normal(size=(400, 10)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    rows, cols, vals = symmetric_coo(g, mode="mean")
+    key = jax.random.PRNGKey(4664397)
+    r1 = randomized_svd_coo(rows, cols, vals, key, n=400, rank=10)
+    r2 = sharded_randomized_svd_coo(rows, cols, vals, key, n=400,
+                                    rank=10, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r2.s), np.asarray(r1.s),
+                               rtol=2e-4)
+    # singular SUBSPACES must agree: compare |u_1^T u_2| per column
+    # (sign-independent); skip near-degenerate tail columns
+    u1, u2 = np.asarray(r1.u), np.asarray(r2.u)
+    s = np.asarray(r1.s)
+    lead = s > 0.05 * s[0]
+    dots = np.abs((u1 * u2).sum(0))[lead]
+    assert (dots > 0.98).all(), dots
+
+
+def test_dmap_embed_mesh_matches_single(rng, mesh):
+    """Spectral init through the sharded SVD produces the same
+    diffusion coordinates as the single-chip path (coordinate-wise,
+    modest tol: the SVD itself is randomized with a shared seed)."""
+    from annembed_tpu.spectral.diffmaps import DiffusionMaps
+    from annembed_tpu.params import DiffusionParams, FULL_SVD_SIZE_LIMIT
+    import annembed_tpu.graph.laplacian as lap_mod
+    x = rng.normal(size=(600, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=8)
+    g = KGraph(indices=idx, dists=dist)
+    dm = DiffusionMaps(params=DiffusionParams(asked_dim=2, alfa=0.5,
+                                              beta=-0.1, t=5.0, gnbn=8))
+    # force the randomized path (600 < FULL_SVD_SIZE_LIMIT would take
+    # the exact-SVD branch and not exercise the sharded SpMM)
+    orig = lap_mod.FULL_SVD_SIZE_LIMIT
+    lap_mod.FULL_SVD_SIZE_LIMIT = 100
+    try:
+        y1 = np.asarray(dm.embed_from_kgraph(g))
+        y2 = np.asarray(dm.embed_from_kgraph(g, mesh=mesh))
+    finally:
+        lap_mod.FULL_SVD_SIZE_LIMIT = orig
+    assert np.isfinite(y2).all()
+    np.testing.assert_allclose(np.abs(y2), np.abs(y1), atol=5e-3)
+
+
+def test_api_embed_multichip_parity(rng, mesh):
+    """api.embed(n_devices=8) end-to-end matches the single-chip
+    result while the sweep count is small: graph build is bit-identical
+    (exact sharded joins), the tiny-n spectral init takes the same
+    exact-SVD branch, and the sharded optimizer shares the seed stream
+    — one sweep agrees to one ulp (the chaotic dynamics amplify the
+    reassociation noise past that, so long runs are compared
+    functionally in the tests below)."""
+    import annembed_tpu as at
+    from annembed_tpu.params import EmbedderParams
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    p = EmbedderParams(n_sub=4)
+    y1, info1 = at.embed(x, dim=2, batch=2, nbng=4, params=p,
+                         with_quality=True, quality_nbng=8)
+    y2, info2 = at.embed(x, dim=2, batch=2, nbng=4, params=p,
+                         with_quality=True, quality_nbng=8, n_devices=8)
+    assert info2["n_devices"] == 8
+    # 4 sweeps of chaotic dynamics amplify the one-ulp reassociation
+    # difference; a handful of nodes can cross a clip/rejection
+    # threshold and jump ~0.1, so assert bulk agreement by quantile —
+    # the single-sweep agreement is pinned at 1e-6 by the direct
+    # optimizer parity check below
+    diff = np.abs(np.asarray(y2) - np.asarray(y1))
+    assert np.quantile(diff, 0.99) < 2e-2, np.quantile(diff, 0.99)
+    assert diff.max() < 0.5, diff.max()
+    assert (abs(info2["quality"]["nb_without_match"]
+                - info1["quality"]["nb_without_match"]) <= 2)
+
+
+def test_api_embed_multichip_quality(rng, mesh):
+    """Full-length multi-chip embed (one-step AND hierarchical)
+    separates clustered data as well as the single-chip run: the
+    functional parity that matters once chaotic divergence rules out
+    coordinate equality."""
+    import annembed_tpu as at
+    labels = rng.integers(0, 2, 320)
+    centers = np.array([[-6.0] * 12, [6.0] * 12], np.float32)
+    x = (centers[labels]
+         + rng.normal(size=(320, 12)).astype(np.float32))
+
+    def acc(y):
+        mus = np.stack([y[labels == i].mean(0) for i in range(2)])
+        return (np.linalg.norm(y[:, None] - mus[None], axis=-1)
+                .argmin(1) == labels).mean()
+
+    y2, info2 = at.embed(x, dim=2, batch=4, nbng=4, n_devices=8)
+    assert info2["n_devices"] == 8
+    assert np.isfinite(y2).all()
+    assert acc(y2) > 0.95, acc(y2)
+
+    y3, info3 = at.embed(x, dim=2, batch=4, nbng=4, layer=1,
+                         hierarchy_fraction=0.25, n_devices=8)
+    assert info3["n_devices"] == 8
+    assert np.isfinite(y3).all()
+    assert acc(y3) > 0.95, acc(y3)
+
+
+def test_sharded_dense_single_sweep_ulp_parity(rng, mesh):
+    """ONE sweep of the sharded production optimizer agrees with the
+    single-chip path to float roundoff (same seed stream, same window
+    partners, same closed-form attraction) — the tight anchor behind
+    the looser multi-sweep api parity above."""
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.parallel.sharded import sharded_dense_optimize
+    from annembed_tpu.params import EmbedderParams
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=2, n_sub=1)
+    y1, _ = run_dense_optimization(y0, g, npar, p, n_sub=1)
+    y2 = sharded_dense_optimize(y0, g, npar, p, mesh)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=1e-6)

@@ -138,15 +138,29 @@ emit({"bench": "dense_sweep", "n": n70, "per_sweep_ms": round(per_sweep * 1e3, 3
       "hbm_fraction": round(bytes_sweep / per_sweep / PEAK_HBM, 3)})
 
 # ---- 4d. dmap init at the bench point ----------------------------------
-# 0.29 s of the bench e2e with no phase-internal accounting; once the
-# optimize schedule lands (~1.0 s), this is ~20% of the remaining wall.
+# 0.29 s of the bench e2e; with the optimize at ~0.74 s this is ~25%
+# of the remaining wall.  Break out the three stages: fused laplacian
+# program, randomized SVD (the subspace iteration's QR chain is the
+# suspected floor), spectral coordinate map.
 from annembed_tpu.spectral.diffmaps import DiffusionMaps  # noqa: E402
 from annembed_tpu.params import DiffusionParams  # noqa: E402
 
 dm70 = DiffusionMaps(params=DiffusionParams(asked_dim=2, alfa=0.5,
                                             beta=-0.1, t=5.0, gnbn=12))
 _, w_dm = timed(lambda: dm70.embed_from_kgraph(g70), "dmap init 70k")
-emit({"bench": "dmap_init", "n": n70, "wall_s": round(w_dm, 3)})
+lap70 = dm70.laplacian_from_kgraph(g70)
+_, w_lap = timed(lambda: dm70.laplacian_from_kgraph(g70).vals,
+                 "dmap laplacian 70k")
+_, w_svd = timed(lambda: lap70.do_svd(2 + 15).s, "dmap rsvd 70k")
+# QR-chain share: one range-finder iteration = 2 SpMM + 4 QR; time a
+# bare double-QR on the iterate shape to see if QR dominates
+from annembed_tpu.linalg.rsvd import _qr_q  # noqa: E402
+panel = jax.random.normal(jax.random.PRNGKey(5), (n70, 30), jnp.float32)
+_, w_qr = timed(lambda: _qr_q(panel), "double QR (n,30)")
+emit({"bench": "dmap_init", "n": n70, "wall_s": round(w_dm, 3),
+      "laplacian_s": round(w_lap, 3), "rsvd_s": round(w_svd, 3),
+      "double_qr_s": round(w_qr, 4),
+      "coords_s": round(max(w_dm - w_lap - w_svd, 0.0), 3)})
 
 # ---- 4b. gather packing A/B --------------------------------------------
 # The 11M sweep floor is the neighbour-coordinate gather: (3, n) indices
