@@ -365,6 +365,30 @@ def _repulsion_kick_T(yi, yk_t, scaleT, gamma, b: float, ok_mask, nw_t):
     return yi + (yi - yk_t) * coeff_ik
 
 
+def _neighbor_rejection(pos, idxT, shifts, n: int, n_neg: int):
+    """(n_neg, nb) mask: kick ``t`` of node at global position ``pos_i``
+    pairs it with (pos_i + shifts[t]) mod n — reject when that partner
+    is one of its neighbours ``idxT[:, i]`` (embedder.rs:1246-1252).
+
+    Formulated as SHIFT membership: partner == idxT[k, i] iff
+    shifts[t] == (idxT[k, i] - pos_i) mod n.  The displacement table D
+    is (k, nb); a searchsorted against the n_neg sorted shifts + one
+    k x nb scatter builds the whole mask in O(k nb log n_neg) — the
+    direct (n_neg, k, nb) compare this replaces (bit-identical output;
+    tests/test_dense.py) was the sweep's single biggest elementwise
+    op.  Shifts are distinct by construction (stride multiples below
+    n), so the scatter-max is exact."""
+    k, nb = idxT.shape
+    d_tab = (idxT - pos[None, :]) % n                   # (k, nb)
+    order = jnp.argsort(shifts)
+    ss = shifts[order]                                  # sorted (n_neg,)
+    p = jnp.clip(jnp.searchsorted(ss, d_tab), 0, n_neg - 1)
+    hit = ss[p] == d_tab                                # (k, nb)
+    t_orig = order[p]                                   # (k, nb)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+    return jnp.zeros((n_neg, nb), bool).at[t_orig, cols].max(hit)
+
+
 def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
                        scale_blkT, gamma, b: float, n_neg: int,
                        neg_weight_ext=None,
@@ -388,14 +412,16 @@ def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
     ok_all = nid != pos[None, :]
     if neighbor_exclusion:
         # the reference rejects negatives that are neighbours of i
-        # (embedder.rs:1246-1252).  This (n_neg, k, nb) compare is the
-        # sweep's single biggest elementwise op; skipping it
-        # (dense_neighbor_exclusion=False) admits a neighbour as a
-        # negative with probability k/n per kick — an O(k/n) repulsion
-        # surplus, negligible at production n but OFF by default to
+        # (embedder.rs:1246-1252); see _neighbor_rejection for the
+        # shift-membership formulation (k x nb work instead of the
+        # direct n_neg x k x nb compare — the sweep's biggest
+        # elementwise op before round 4).
+        # dense_neighbor_exclusion=False skips the test entirely,
+        # admitting a neighbour as a negative with probability k/n per
+        # kick — an O(k/n) repulsion surplus; kept ON by default to
         # preserve reference semantics.
         ok_all &= jnp.logical_not(
-            (nid[:, None, :] == idxT_blk_full[None, :, :]).any(1))
+            _neighbor_rejection(pos, idxT_blk_full, shifts, n, n_neg))
     yi = y_blk
     for t in range(n_neg):
         start = (lo + shifts[t]) % n

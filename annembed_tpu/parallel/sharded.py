@@ -304,7 +304,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
     ``rot0 + local`` when scheduled.  ``packed_gather`` routes the
     neighbour gather through a complex64 lane pack at d=2, bit-exact
     (see optim/dense.py::_attraction_sweep_sfT)."""
-    from ..optim.dense import _attraction_sweep_sfT, _repulsion_kick_T
+    from ..optim.dense import (_attraction_sweep_sfT, _repulsion_kick_T,
+                               _neighbor_rejection)
 
     def local(y0, indices, w, m_visit, w_rev, m_rev, emb_scale,
               neg_weight, keys, step0, rot0):
@@ -391,8 +392,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                       * jnp.arange(n_neg, dtype=jnp.int32)) % n
             nid_all = (r0 + pos_local[None, :] + shifts[:, None]) % n
             ok_all = (nid_all != (r0 + pos_local)[None, :]) \
-                & jnp.logical_not(
-                    (nid_all[:, None, :] == idxT_full[None]).any(1))
+                & jnp.logical_not(_neighbor_rejection(
+                    r0 + pos_local, idxT_full, shifts, n, n_neg))
             for t in range(n_neg):
                 start = (r0 + shifts[t]) % n
                 # partners are from the pre-repulsion snapshot for rows

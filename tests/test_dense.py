@@ -485,3 +485,28 @@ def test_neighbor_exclusion_off_runs(rng):
                            dense_neighbor_exclusion=False)
     y_blk, _ = run_dense_optimization(y0, g, npar, p_blk, n_sub=8)
     assert np.isfinite(np.asarray(y_blk)).all()
+
+
+def test_neighbor_rejection_mask_equivalence(rng):
+    """The searchsorted shift-membership mask equals the direct
+    (n_neg, k, nb) compare bit-for-bit across random shapes/offsets."""
+    import jax.numpy as jnp
+    from annembed_tpu.optim.dense import _neighbor_rejection
+    for trial in range(12):
+        n = int(rng.integers(40, 400))
+        nb = int(rng.integers(8, n + 1))
+        lo = int(rng.integers(0, n - nb + 1))
+        k = int(rng.integers(2, 8))
+        n_neg = int(rng.integers(1, min(12, n)))
+        stride = max(1, n // n_neg)
+        offset = int(rng.integers(0, n))
+        idxT = jnp.asarray(rng.integers(0, n, size=(k, nb)), jnp.int32)
+        pos = lo + jnp.arange(nb, dtype=jnp.int32)
+        shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
+        nid = (pos[None, :] + shifts[:, None]) % n
+        direct = (nid[:, None, :] == idxT[None, :, :]).any(1)
+        fast = _neighbor_rejection(pos, idxT, shifts, n, n_neg)
+        np.testing.assert_array_equal(np.asarray(fast),
+                                      np.asarray(direct),
+                                      err_msg=str((n, nb, lo, k, n_neg,
+                                                   offset)))
