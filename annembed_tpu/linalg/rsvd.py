@@ -24,6 +24,7 @@ svdapprox.rs:366,390).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -38,12 +39,53 @@ class SvdResult(NamedTuple):
     vt: jnp.ndarray
 
 
+#: panel-orthogonalization algorithm: "auto" (CholeskyQR3 for tall
+#: panels, Householder otherwise), "cholqr", "householder".  Env
+#: override for on-chip A/Bs (tools/microbench_tpu.py).
+_QR_MODE = os.environ.get("ANNEMBED_RSVD_QR", "auto")
+
+
+def _chol_qr_pass(y: jnp.ndarray, shift_rel: float) -> jnp.ndarray:
+    """One CholeskyQR pass: Q = Y (L^T)^-1 with G = Y^T Y = L L^T.
+    ``shift_rel`` > 0 adds a relative diagonal shift so the Cholesky
+    stays positive-definite in f32 for ill-conditioned panels."""
+    l = y.shape[1]
+    g = y.T @ y
+    shift = shift_rel * jnp.trace(g) + 1e-20
+    g = g + shift * jnp.eye(l, dtype=y.dtype)
+    r = jnp.linalg.cholesky(g)                        # lower, G = R R^T
+    qt = jax.scipy.linalg.solve_triangular(r, y.T, lower=True)
+    return qt.T
+
+
 def _qr_q(y: jnp.ndarray) -> jnp.ndarray:
-    # Double QR ("twice is enough"): the TPU backend's float32 QR can
-    # lose ~1e-3 orthogonality on near-rank-deficient panels, which
-    # pollutes the projected spectrum; a second pass restores it.  The
-    # panels are (n, ~rank) so the extra QR is negligible next to the
-    # SpMM.
+    """Orthonormal basis of a (m, l) panel.
+
+    Tall panels (the randomized-SVD hot path: m = n points, l ~ 30)
+    use shifted CholeskyQR3 (Fukaya et al.): a shifted pass that
+    guarantees a positive-definite f32 Gram even near rank deficiency,
+    then two clean passes restoring orthogonality to machine
+    precision.  Each pass is two MXU matmuls plus an (l, l)
+    Cholesky/triangular-solve — the TPU-shaped replacement for XLA's
+    sequential Householder panel QR (which the reference reaches via
+    LAPACK, svdapprox.rs:1006-1012).  Small panels keep double
+    Householder QR ("twice is enough"): its cost is negligible there
+    and it is the more robust algorithm for m ~ l.
+    """
+    m, l = y.shape
+    mode = _QR_MODE
+    if mode == "auto":
+        mode = "cholqr" if (m >= 4096 and m >= 32 * l) else "householder"
+    if mode == "cholqr":
+        # the clean passes keep an eps-level shift: an EXACTLY
+        # rank-deficient panel (operator rank < l) has a singular Gram
+        # and an unshifted Cholesky would NaN; with the shift its null
+        # directions become zero columns, which the projected SVD then
+        # reports as zero singular values — same effective truncation
+        # as the Householder path's orthogonal completion.
+        q = _chol_qr_pass(y, 4e-6)
+        q = _chol_qr_pass(q, 1e-7)
+        return _chol_qr_pass(q, 1e-7)
     q, _ = jnp.linalg.qr(y)
     q, _ = jnp.linalg.qr(q)
     return q

@@ -130,3 +130,56 @@ def test_adaptive_svd_wiki_fixture():
     s_nz = np.sort(s[s > 1e-5])[::-1]
     np.testing.assert_allclose(s_nz[:3], [3.0, np.sqrt(5.0), 2.0],
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CholeskyQR3 panel orthogonalization (the tall-panel TPU path)
+# ---------------------------------------------------------------------------
+
+def test_cholqr_orthogonality_tall_panel(rng):
+    """_qr_q's CholeskyQR3 branch must deliver machine-precision
+    orthogonality on tall panels, including ill-conditioned ones."""
+    from annembed_tpu.linalg.rsvd import _qr_q
+    m, l = 8192, 24
+    y = rng.normal(size=(m, l)).astype(np.float32)
+    # make the panel ill-conditioned: last columns nearly dependent
+    y[:, -1] = y[:, 0] + 1e-4 * y[:, -1]
+    y[:, -2] = y[:, 1] + 1e-5 * y[:, -2]
+    q = np.asarray(_qr_q(jnp.asarray(y)))
+    assert q.shape == (m, l)
+    err = np.abs(q.T @ q - np.eye(l, dtype=np.float32)).max()
+    assert err < 5e-5, f"orthogonality error {err}"
+    # Q must span the panel: projecting y onto Q reproduces it
+    resid = np.linalg.norm(y - q @ (q.T @ y)) / np.linalg.norm(y)
+    assert resid < 1e-3, f"range residual {resid}"
+
+
+def test_cholqr_svd_matches_householder(rng):
+    """Singular values through the CholQR path agree with the
+    Householder path on a tall low-rank operator."""
+    import annembed_tpu.linalg.rsvd as rsvd
+    r = 10
+    m, n = 9000, 64
+    u = np.linalg.qr(rng.normal(size=(m, r)))[0]
+    v = np.linalg.qr(rng.normal(size=(n, r)))[0]
+    s = np.linspace(8.0, 0.5, r)
+    a = (u * s) @ v.T
+    a = jnp.asarray(a.astype(np.float32))
+    old = rsvd._QR_MODE
+    try:
+        rsvd._QR_MODE = "cholqr"
+        res_c = randomized_svd_dense(a, rank=r, n_iter=4)
+        rsvd._QR_MODE = "householder"
+        res_h = randomized_svd_dense(a, rank=r, n_iter=4)
+    finally:
+        rsvd._QR_MODE = old
+    np.testing.assert_allclose(np.asarray(res_c.s), s, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_c.s), np.asarray(res_h.s),
+                               rtol=2e-4)
+
+
+def test_cholqr_zero_panel_no_nan():
+    """A zero panel must not produce NaNs (degenerate operator guard)."""
+    from annembed_tpu.linalg.rsvd import _qr_q
+    q = np.asarray(_qr_q(jnp.zeros((8192, 8), jnp.float32)))
+    assert np.isfinite(q).all()
