@@ -51,10 +51,13 @@ class GraphLaplacian:
     def to_dense(self) -> jnp.ndarray:
         return coo_to_dense(self.rows, self.cols, self.vals, self.n)
 
-    def do_svd(self, asked_dim: int, key=None, mesh=None) -> SvdResult:
+    def do_svd(self, asked_dim: int, key=None, mesh=None,
+               n_iter: int = 5) -> SvdResult:
         """Exact SVD below FULL_SVD_SIZE_LIMIT, randomized above
         (reference graphlaplace.rs:127 ``do_svd`` dispatch; the
-        randomized path uses rank 20 / 5 iterations, :115).
+        randomized path uses rank 20 / 5 iterations, :115 —
+        ``n_iter`` exposes the iteration count as a TPU knob, default
+        = the reference's 5).
 
         With ``mesh`` (a 1-D 'data' jax mesh), the randomized path's
         COO SpMM is sharded over the mesh devices
@@ -71,11 +74,11 @@ class GraphLaplacian:
                     sharded_randomized_svd_coo
                 res = sharded_randomized_svd_coo(
                     self.rows, self.cols, self.vals, key, n=self.n,
-                    rank=rank, mesh=mesh, n_iter=5, n_oversample=10)
+                    rank=rank, mesh=mesh, n_iter=n_iter, n_oversample=10)
             else:
                 res = randomized_svd_coo(self.rows, self.cols,
                                          self.vals, key, n=self.n,
-                                         rank=rank, n_iter=5,
+                                         rank=rank, n_iter=n_iter,
                                          n_oversample=10)
         self.svd_res = res
         return res

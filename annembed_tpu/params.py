@@ -185,6 +185,11 @@ class DiffusionParams:
     gnbn: Optional[int] = None
     #: Hierarchical layer (None/0 = embed the full graph).
     h_layer: Optional[int] = None
+    #: Subspace iterations of the randomized spectral solve — TPU knob;
+    #: default = the reference's 5 (graphlaplace.rs:115).  The init only
+    #: seeds the CE optimizer, so fewer iterations can be quality-neutral
+    #: (A/B per workload before lowering).
+    svd_n_iter: int = 5
 
     # clamped setters mirroring diffmaps.rs:122-160
     def set_alfa(self, alfa: float) -> None:

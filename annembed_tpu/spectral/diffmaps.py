@@ -197,7 +197,8 @@ class DiffusionMaps:
         """Spectral coordinates from the top eigenvectors
         (diffmaps.rs:1145-1243).  ``mesh`` shards the randomized SVD's
         SpMM over the devices (see GraphLaplacian.do_svd)."""
-        svd_res = lap.do_svd(asked_dim + 15, key=key, mesh=mesh)
+        svd_res = lap.do_svd(asked_dim + 15, key=key, mesh=mesh,
+                             n_iter=self.params.svd_n_iter)
         scales = lap.normed_scales
         if scales is None:
             scales = jnp.ones((lap.n,), jnp.float32)
