@@ -319,7 +319,8 @@ def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
 
 def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
                              b: float, n_neg: int, neg_weight=None,
-                             neighbor_exclusion: bool = True):
+                             neighbor_exclusion: bool = True,
+                             parallel_kicks: bool = False):
     """Transposed identity-pool repulsion: kick ``t`` pairs position i
     with position (i + offset + t*(n//n_neg)) mod n — a pure roll of
     the coordinate block along the n axis, zero gathers and zero
@@ -344,7 +345,8 @@ def _repulsion_sweep_rolledT(yT, offset, idxT, emb_scaleT, gamma,
               else jnp.concatenate([neg_weight, neg_weight]))
     yi = _repulsion_block_T(yT_ext, yT, 0, n, offset, idxT, emb_scaleT,
                             gamma, b, n_neg, neg_weight_ext=nw_ext,
-                            neighbor_exclusion=neighbor_exclusion)
+                            neighbor_exclusion=neighbor_exclusion,
+                            parallel_kicks=parallel_kicks)
     return yi - yT
 
 
@@ -392,7 +394,8 @@ def _neighbor_rejection(pos, idxT, shifts, n: int, n_neg: int):
 def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
                        scale_blkT, gamma, b: float, n_neg: int,
                        neg_weight_ext=None,
-                       neighbor_exclusion: bool = True):
+                       neighbor_exclusion: bool = True,
+                       parallel_kicks: bool = False):
     """Sequential repulsion kicks for one contiguous node block.
 
     Kick ``t`` pairs global position p with (p + offset + t*(n//n_neg))
@@ -422,6 +425,32 @@ def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,
         # preserve reference semantics.
         ok_all &= jnp.logical_not(
             _neighbor_rejection(pos, idxT_blk_full, shifts, n, n_neg))
+    if parallel_kicks:
+        # TPU-granularity variant (EmbedderParams.dense_parallel_kicks):
+        # every kick's coeff reads the post-attraction snapshot y_blk
+        # instead of the running yi, so the n_neg dependent fusion
+        # chains collapse into ONE stacked (n_neg, d, nb) elementwise
+        # program + a sum.  Partners, caps and rejection masks are
+        # identical to the sequential path; n_neg == 1 is bit-exact.
+        yk = jnp.stack([
+            jax.lax.dynamic_slice(yT_ext, (0, (lo + shifts[t]) % n),
+                                  (d, nb))
+            for t in range(n_neg)])                    # (n_neg, d, nb)
+        yi0 = y_blk[None]                              # (1, d, nb)
+        scale3 = scale_blkT[None]                      # (1, 1, nb)
+        d2s = (jnp.sum(jnp.square(yi0 - yk), 1, keepdims=True)
+               / jnp.square(scale3))                   # (n_neg, 1, nb)
+        coeff = _common_coeff(d2s, scale3, b)
+        rep = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+        c = jnp.minimum(gamma * coeff * rep, 2.0)
+        if neg_weight_ext is not None:
+            nw = jnp.stack([
+                jax.lax.dynamic_slice(neg_weight_ext,
+                                      ((lo + shifts[t]) % n,), (nb,))
+                for t in range(n_neg)])[:, None, :]    # (n_neg, 1, nb)
+            c = c * nw
+        c = jnp.where((d2s > 0.0) & ok_all[:, None, :], c, 0.0)
+        return y_blk + jnp.sum((yi0 - yk) * c, 0)
     yi = y_blk
     for t in range(n_neg):
         start = (lo + shifts[t]) % n
@@ -476,7 +505,8 @@ def reverse_edge_weights(indices, w):
                                              "mask_p", "batch0",
                                              "use_rot0", "n_blocks",
                                              "packed_gather",
-                                             "neighbor_exclusion"))
+                                             "neighbor_exclusion",
+                                             "parallel_kicks"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
@@ -486,7 +516,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    mask_p: float = 1.0, batch0: int = 0,
                    rot0=0, use_rot0: bool = False, n_blocks: int = 1,
                    packed_gather: bool = False,
-                   neighbor_exclusion: bool = True):
+                   neighbor_exclusion: bool = True,
+                   parallel_kicks: bool = False):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -589,7 +620,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                     yT_ext, y_blk, lo, n, offset, gd["idxT_full"],
                     gd["scale_iT"], gamma, b, n_neg,
                     neg_weight_ext=nw_ext,
-                    neighbor_exclusion=neighbor_exclusion)
+                    neighbor_exclusion=neighbor_exclusion,
+                    parallel_kicks=parallel_kicks)
                 return jax.lax.dynamic_update_slice(yT, y_blk, (0, lo))
 
             return branch
@@ -660,7 +692,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
             yT = yT + _repulsion_sweep_rolledT(
                 yT, offset, idxT_full, scale_iT, gamma, b, n_neg,
                 neg_weight=neg_weight,
-                neighbor_exclusion=neighbor_exclusion)
+                neighbor_exclusion=neighbor_exclusion,
+                parallel_kicks=parallel_kicks)
             return yT, None
 
         yT, _ = jax.lax.scan(body_t, y0.astype(jnp.float32).T,
@@ -747,7 +780,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    mask_p: float = 1.0, batch0: int = 0,
                    batch1: int | None = None, rot_base: int | None = None,
                    n_blocks: int = 1, packed_gather: bool = False,
-                   neighbor_exclusion: bool = True):
+                   neighbor_exclusion: bool = True,
+                   parallel_kicks: bool = False):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -789,7 +823,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                            use_rot0=rot_base is not None,
                            n_blocks=n_blocks,
                            packed_gather=packed_gather,
-                           neighbor_exclusion=neighbor_exclusion)
+                           neighbor_exclusion=neighbor_exclusion,
+                           parallel_kicks=parallel_kicks)
     return y
 
 
@@ -934,7 +969,10 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                              n_blocks=n_blocks, packed_gather=packed,
                              neighbor_exclusion=bool(getattr(
                                  params, "dense_neighbor_exclusion",
-                                 True)))
+                                 True)),
+                             parallel_kicks=bool(getattr(
+                                 params, "dense_parallel_kicks",
+                                 False)))
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed
@@ -951,4 +989,6 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
         info["n_blocks"] = n_blocks
     if len(schedule) > 1:
         info["n_sub_schedule"] = schedule
+    if getattr(params, "dense_parallel_kicks", False):
+        info["parallel_kicks"] = 1
     return y, info

@@ -138,6 +138,17 @@ class EmbedderParams:
     #: lever, see the round-4 sweep study).  True = reference
     #: semantics.
     dense_neighbor_exclusion: bool = True
+    #: compute the sweep's n_neg repulsion kicks as ONE stacked
+    #: (n_neg, d, n) program against the post-attraction snapshot
+    #: (summed) instead of the reference's sequential per-kick chain
+    #: (embedder.rs:1244-1299, each kick reading the running yi).
+    #: At kernel-count-bound sizes (70k bench point: ~1 ms/sweep vs
+    #: ~40 us of modeled HBM traffic) the sequential chain of n_neg
+    #: dependent fusions IS the optimize wall; the stacked form is a
+    #: granularity change only — same partners, same per-kick caps
+    #: (coeff <= 2, pole >= 1/16), same rejection masks.  Off = exact
+    #: reference sequencing.
+    dense_parallel_kicks: bool = False
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

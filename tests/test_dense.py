@@ -510,3 +510,80 @@ def test_neighbor_rejection_mask_equivalence(rng):
                                       np.asarray(direct),
                                       err_msg=str((n, nb, lo, k, n_neg,
                                                    offset)))
+
+
+def test_parallel_kicks_n_neg1_bit_exact(rng):
+    """With a single kick the stacked (parallel) formulation and the
+    sequential chain are the SAME formula — bit-exact anchor."""
+    from annembed_tpu.optim.dense import _repulsion_sweep_rolledT
+    n, d, k = 97, 2, 5
+    yT = jnp.asarray(rng.normal(size=(d, n)).astype(np.float32))
+    idxT = jnp.asarray(rng.integers(0, n, size=(k, n)), jnp.int32)
+    scaleT = jnp.asarray(
+        rng.uniform(0.1, 0.4, size=(1, n)).astype(np.float32))
+    nw = jnp.asarray(rng.uniform(0.5, 2.0, size=(n,)).astype(np.float32))
+    for offset in (0, 13, 90):
+        seq = _repulsion_sweep_rolledT(yT, jnp.int32(offset), idxT,
+                                       scaleT, 0.7, 1.0, 1,
+                                       neg_weight=nw)
+        par = _repulsion_sweep_rolledT(yT, jnp.int32(offset), idxT,
+                                       scaleT, 0.7, 1.0, 1,
+                                       neg_weight=nw,
+                                       parallel_kicks=True)
+        np.testing.assert_allclose(np.asarray(par), np.asarray(seq),
+                                   rtol=0, atol=0)
+
+
+def test_parallel_kicks_matches_numpy_oracle(rng):
+    """The stacked kick program equals an explicit numpy evaluation of
+    the parallel formula: every kick's coeff from the pre-repulsion
+    snapshot, deltas summed, same caps/masks/partners as sequential."""
+    from annembed_tpu.optim.dense import _repulsion_sweep_rolledT
+    n, d, k, n_neg = 61, 3, 4, 5
+    y = rng.normal(size=(n, d)).astype(np.float32)
+    idx = rng.integers(0, n, size=(n, k)).astype(np.int32)
+    scale = rng.uniform(0.1, 0.4, size=(n,)).astype(np.float32)
+    nw = rng.uniform(0.5, 2.0, size=(n,)).astype(np.float32)
+    gamma, b, offset = 0.7, 1.0, 17
+    stride = max(1, n // n_neg)
+    delta = np.zeros_like(y)
+    for i in range(n):
+        for t in range(n_neg):
+            p = (i + offset + t * stride) % n
+            if p == i or p in idx[i]:
+                continue
+            d2s = float(((y[i] - y[p]) ** 2).sum()) / scale[i] ** 2
+            if d2s <= 0.0:
+                continue
+            coeff = 2.0 / (1.0 + d2s) / scale[i] ** 2
+            rep = 1.0 / max(d2s ** 2, 1.0 / 16.0)
+            c = min(gamma * coeff * rep, 2.0) * nw[p]
+            delta[i] += (y[i] - y[p]) * c
+    got = _repulsion_sweep_rolledT(
+        jnp.asarray(y.T), jnp.int32(offset),
+        jnp.asarray(idx.T), jnp.asarray(scale[None, :]),
+        gamma, b, n_neg, neg_weight=jnp.asarray(nw),
+        parallel_kicks=True)
+    np.testing.assert_allclose(np.asarray(got).T, delta,
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_parallel_kicks_end_to_end(rng):
+    """dense_parallel_kicks=True runs the full optimizer (flat + block
+    paths), stays finite, improves CE, and reports the flag."""
+    x = rng.normal(size=(240, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (240, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=4, dense_parallel_kicks=True)
+    y, info = run_dense_optimization(y0, g, npar, p, n_sub=6)
+    assert np.isfinite(np.asarray(y)).all()
+    assert info["parallel_kicks"] == 1
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+    assert ce1 < ce0
+    p_blk = EmbedderParams(nb_grad_batch=4, dense_n_blocks=2,
+                           dense_parallel_kicks=True)
+    y_blk, _ = run_dense_optimization(y0, g, npar, p_blk, n_sub=8)
+    assert np.isfinite(np.asarray(y_blk)).all()

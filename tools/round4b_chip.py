@@ -138,5 +138,25 @@ for it in (5, 3, 2):
         w = time.perf_counter() - t0
     emit({"bench": "dmap_svd_n_iter", "n_iter": it, "wall_s": round(w, 3)})
 
+# 4. parallel-kicks optimize wall A/B (same graph + init; quality
+#    neutrality is the CPU A/B's job — tools/ab_parallel_kicks.py)
+npar = to_proba_edges(g)
+dm = DiffusionMaps(params=DiffusionParams(
+    asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12))
+init = set_data_box(dm.embed_from_kgraph(g), 10.0)
+init.block_until_ready()
+for par in (False, True):
+    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
+                            n_sub_schedule=((15, 15), (10, 30), (5, 60)),
+                            dense_parallel_kicks=par)
+    for rep in range(2):
+        t0 = time.perf_counter()
+        y, _ = run_dense_optimization(init, g, npar, params, n_sub=15)
+        y.block_until_ready()
+        _ = np.asarray(y.reshape(-1)[:1])
+        w = time.perf_counter() - t0
+    emit({"bench": "optimize_parallel_kicks", "parallel": bool(par),
+          "wall_s": round(w, 3)})
+
 note("done")
 os._exit(0)
