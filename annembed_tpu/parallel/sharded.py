@@ -281,7 +281,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                                f_min: float, mask_p: float,
                                seg_steps: int, batch0: int = 0,
                                use_rot0: bool = False,
-                               packed_gather: bool = False):
+                               packed_gather: bool = False,
+                               parallel_kicks: bool = False):
     """One jitted multi-sweep segment of the PRODUCTION dense schedule,
     row-sharded over the mesh.
 
@@ -394,6 +395,30 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
             ok_all = (nid_all != (r0 + pos_local)[None, :]) \
                 & jnp.logical_not(_neighbor_rejection(
                     r0 + pos_local, idxT_full, shifts, n, n_neg))
+            if parallel_kicks:
+                # stacked kicks against the snapshot (identical math to
+                # optim/dense.py::_repulsion_block_T parallel path, so
+                # single-chip parity holds bit-for-bit when both flags
+                # are set)
+                from ..optim.ce import _common_coeff
+                yk = jnp.stack([
+                    jax.lax.dynamic_slice(ycat, (0, (r0 + shifts[t]) % n),
+                                          (dim, m_rows))
+                    for t in range(n_neg)])        # (n_neg, dim, m)
+                nw = jnp.stack([
+                    jax.lax.dynamic_slice(nwcat, ((r0 + shifts[t]) % n,),
+                                          (m_rows,))
+                    for t in range(n_neg)])[:, None, :]
+                yi0 = yiT[None]
+                scale3 = scale_iT[None]
+                d2s = (jnp.sum(jnp.square(yi0 - yk), 1, keepdims=True)
+                       / jnp.square(scale3))
+                coeff = _common_coeff(d2s, scale3, b)
+                repf = 1.0 / jnp.maximum(jnp.square(d2s), 1.0 / 16.0)
+                c = jnp.minimum(gamma * coeff * repf, 2.0) * nw
+                c = jnp.where((d2s > 0.0) & ok_all[:, None, :], c, 0.0)
+                yiT = yiT + jnp.sum((yi0 - yk) * c, 0)
+                return gather_rows(yiT), None
             for t in range(n_neg):
                 start = (r0 + shifts[t]) % n
                 # partners are from the pre-repulsion snapshot for rows
@@ -544,7 +569,9 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
                     use_rot0=len(schedule) > 1,
                     packed_gather=(
                         bool(getattr(p, "dense_packed_gather", False))
-                        and y0_r.shape[1] == 2))
+                        and y0_r.shape[1] == 2),
+                    parallel_kicks=bool(getattr(
+                        p, "dense_parallel_kicks", False)))
             return cache[seg_steps]
 
         seg_keys = jax.random.split(k_p, n_segs)

@@ -438,3 +438,31 @@ def test_sharded_dense_single_sweep_ulp_parity(rng, mesh):
     y2 = sharded_dense_optimize(y0, g, npar, p, mesh)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                atol=1e-6)
+
+
+def test_sharded_parallel_kicks_runs(rng, mesh):
+    """dense_parallel_kicks reaches the sharded production schedule:
+    finite output, CE within 10% of the single-chip parallel-kicks
+    run on the same fixture."""
+    import jax.numpy as jnp
+    from annembed_tpu.knn.brute import knn_graph_brute
+    from annembed_tpu.graph.kgraph import KGraph
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.params import EmbedderParams
+    from annembed_tpu.parallel.sharded import sharded_dense_optimize
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    x = rng.normal(size=(256, 8)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=6, dense_parallel_kicks=True)
+    y_s = np.asarray(sharded_dense_optimize(y0, g, npar, p, mesh))
+    assert np.isfinite(y_s).all()
+    y_1, info = run_dense_optimization(y0, g, npar, p)
+    assert info["parallel_kicks"] == 1
+    ce_s = float(ce_value_dense(jnp.asarray(y_s), g, npar.probas,
+                                npar.scale, 1.0))
+    ce_1 = float(ce_value_dense(y_1, g, npar.probas, npar.scale, 1.0))
+    assert ce_s < ce_1 * 1.1, (ce_s, ce_1)
