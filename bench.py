@@ -218,8 +218,13 @@ def run_once(x, sync_element=False):
     g = KGraph(indices=idx, dists=dist)
 
     t0 = time.perf_counter()
+    # env knobs for on-chip lever A/Bs of the FULL protocol (defaults =
+    # the recorded configuration; flips require a chip-measured win —
+    # the packed-gather lesson): both levers are quality-neutral on
+    # the CPU A/Bs (PERF.md round-4 lever tables)
     dm = DiffusionMaps(params=DiffusionParams(
-        asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12))
+        asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12,
+        svd_n_iter=int(os.environ.get("ANNEMBED_BENCH_SVD_ITERS", "5"))))
     init = dm.embed_from_kgraph(g)
     init = set_data_box(init, 10.0)
     init.block_until_ready()
@@ -238,7 +243,9 @@ def run_once(x, sync_element=False):
     # sweeps measured the same, halving further to 570 degrades —
     # PERF.md round-3 granularity study).
     params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
-                            n_sub_schedule=((15, 15), (10, 30), (5, 60)))
+                            n_sub_schedule=((15, 15), (10, 30), (5, 60)),
+                            dense_parallel_kicks=bool(int(os.environ.get(
+                                "ANNEMBED_BENCH_PARALLEL_KICKS", "0"))))
     y, info = run_dense_optimization(init, g, npar, params, n_sub=15)
     y.block_until_ready()
     if sync_element:
