@@ -372,23 +372,38 @@ def _neighbor_rejection(pos, idxT, shifts, n: int, n_neg: int):
     pairs it with (pos_i + shifts[t]) mod n — reject when that partner
     is one of its neighbours ``idxT[:, i]`` (embedder.rs:1246-1252).
 
-    Formulated as SHIFT membership: partner == idxT[k, i] iff
-    shifts[t] == (idxT[k, i] - pos_i) mod n.  The displacement table D
-    is (k, nb); a searchsorted against the n_neg sorted shifts + one
-    k x nb scatter builds the whole mask in O(k nb log n_neg) — the
-    direct (n_neg, k, nb) compare this replaces (bit-identical output;
-    tests/test_dense.py) was the sweep's single biggest elementwise
-    op.  Shifts are distinct by construction (stride multiples below
-    n), so the scatter-max is exact."""
+    Two bit-identical formulations, dispatched by shape
+    (property-tested equal in tests/test_dense.py):
+
+    * SHIFT membership: partner == idxT[k, i] iff
+      shifts[t] == (idxT[k, i] - pos_i) mod n.  Searchsorted the (k, nb)
+      displacement table against the n_neg sorted shifts + one k x nb
+      scatter-max: O(k nb log n_neg) elementwise work, a ~1/n_neg cut of
+      the direct compare.  This wins at the bench operating point
+      (n_neg = 20, k = 6) where the (n_neg, k, nb) tensor is the sweep's
+      single biggest elementwise op.
+    * DIRECT (n_neg, k, nb) broadcast compare + any-reduce.  When n_neg
+      is small the direct tensor is only n_neg x the scatter's own
+      update volume, and the scatter's constant is catastrophic at
+      production shapes (measured CPU A/B, PERF.md round-4: k=100
+      nb=440k n_neg=2 -> scatter 496 ms vs compare 6 ms; nb=2M ->
+      2356 ms vs 7 ms — the round-4 11M optimize regression, 4169 s vs
+      the expected ~1600 s, was exactly 36k sweeps of this scatter).
+
+    Shifts are distinct by construction (stride multiples below n), so
+    the scatter-max is exact."""
     k, nb = idxT.shape
-    d_tab = (idxT - pos[None, :]) % n                   # (k, nb)
-    order = jnp.argsort(shifts)
-    ss = shifts[order]                                  # sorted (n_neg,)
-    p = jnp.clip(jnp.searchsorted(ss, d_tab), 0, n_neg - 1)
-    hit = ss[p] == d_tab                                # (k, nb)
-    t_orig = order[p]                                   # (k, nb)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
-    return jnp.zeros((n_neg, nb), bool).at[t_orig, cols].max(hit)
+    if n_neg >= 8 and k * nb <= (1 << 23):
+        d_tab = (idxT - pos[None, :]) % n               # (k, nb)
+        order = jnp.argsort(shifts)
+        ss = shifts[order]                              # sorted (n_neg,)
+        p = jnp.clip(jnp.searchsorted(ss, d_tab), 0, n_neg - 1)
+        hit = ss[p] == d_tab                            # (k, nb)
+        t_orig = order[p]                               # (k, nb)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+        return jnp.zeros((n_neg, nb), bool).at[t_orig, cols].max(hit)
+    nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, nb)
+    return (nid[:, None, :] == idxT[None, :, :]).any(1)
 
 
 def _repulsion_block_T(yT_ext, y_blk, lo, n, offset, idxT_blk_full,

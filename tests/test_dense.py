@@ -489,7 +489,10 @@ def test_neighbor_exclusion_off_runs(rng):
 
 def test_neighbor_rejection_mask_equivalence(rng):
     """The searchsorted shift-membership mask equals the direct
-    (n_neg, k, nb) compare bit-for-bit across random shapes/offsets."""
+    (n_neg, k, nb) compare bit-for-bit across random shapes/offsets.
+    Even trials force n_neg >= 8 so the searchsorted branch of the
+    shape dispatch (dense.py _neighbor_rejection) is always hit; odd
+    trials draw small n_neg, exercising the direct branch."""
     import jax.numpy as jnp
     from annembed_tpu.optim.dense import _neighbor_rejection
     for trial in range(12):
@@ -497,7 +500,8 @@ def test_neighbor_rejection_mask_equivalence(rng):
         nb = int(rng.integers(8, n + 1))
         lo = int(rng.integers(0, n - nb + 1))
         k = int(rng.integers(2, 8))
-        n_neg = int(rng.integers(1, min(12, n)))
+        n_neg = (int(rng.integers(8, 16)) if trial % 2 == 0
+                 else int(rng.integers(1, 8)))
         stride = max(1, n // n_neg)
         offset = int(rng.integers(0, n))
         idxT = jnp.asarray(rng.integers(0, n, size=(k, nb)), jnp.int32)
