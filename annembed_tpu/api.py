@@ -44,6 +44,22 @@ def _finalize_info(info: dict) -> dict:
     return out
 
 
+def _chunked_readback(y_dev, rows_per_chunk: int = 1_000_000) -> np.ndarray:
+    """Device->host readback in bounded slices with progress logging.
+    One whole-array readback of a multi-million-row embedding is the
+    repo's largest single device->host RPC; reading in ~8 MB slices
+    bounds each RPC and, if the tunnel wedges again, the last logged
+    chunk pins where."""
+    n = y_dev.shape[0]
+    if n <= rows_per_chunk:
+        return np.asarray(y_dev)
+    parts = []
+    for i0 in range(0, n, rows_per_chunk):
+        parts.append(np.asarray(y_dev[i0:i0 + rows_per_chunk]))
+        logger.info("readback %d/%d rows", min(i0 + rows_per_chunk, n), n)
+    return np.concatenate(parts, axis=0)
+
+
 def _ensure_eager_execution():
     """One 4-byte device->host readback.  On runtimes that defer
     execution until the first readback (axon tunnel), a fully-lazy
@@ -184,22 +200,31 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
         # a transient device fault) restart straight into quality
         import jax.numpy as jnp
         from .io.checkpoint import load_embedding
-        y_np = load_embedding(embed_cache)
-        if y_np.shape != (x.shape[0], dim):
+        y_host = load_embedding(embed_cache)
+        if y_host.shape != (x.shape[0], dim):
             raise ValueError(
-                f"embed_cache {embed_cache!r} has shape {y_np.shape}, "
+                f"embed_cache {embed_cache!r} has shape {y_host.shape}, "
                 f"expected {(x.shape[0], dim)} — stale checkpoint from "
                 "another run? delete it or fix the path")
-        y_dev = jnp.asarray(y_np)
+        y_dev = jnp.asarray(y_host)
         emb.embedding = y_dev
         logger.info("loaded embedding checkpoint from %s", embed_cache)
     else:
+        y_host = None
         y_dev = emb.embed()
         if embed_cache:
             # eager dump (the np conversion is a readback; big runs are
-            # already in sync mode via _ensure_eager_execution above)
+            # already in sync mode via _ensure_eager_execution above).
+            # CHUNKED readback with per-chunk logging: both round-4 11M
+            # attempts wedged (zero socket traffic) inside the single
+            # 88 MB whole-array readback right here, ~72-74 min into
+            # process lifetime; chunking localizes a recurrence to a
+            # specific chunk and keeps each RPC small
             from .io.checkpoint import save_embedding
-            save_embedding(embed_cache, np.asarray(y_dev))
+            logger.info("optimize returned; reading back embedding "
+                        "(%d rows, chunked)", y_dev.shape[0])
+            y_host = _chunked_readback(y_dev)
+            save_embedding(embed_cache, y_host)
             logger.info("embedding checkpoint written to %s", embed_cache)
     q = None
     if with_quality:
@@ -207,7 +232,7 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
             nbng=quality_nbng, sample_fraction=quality_fraction,
             knn_params=knn_params,
             radius_k_compat=quality_radius_compat or None)
-    y = np.asarray(y_dev)
+    y = np.asarray(y_dev) if y_host is None else y_host
     info = _finalize_info(emb.info)
     info["graph_build_time"] = graph_build_time
     info["total_time"] = time.perf_counter() - t0
