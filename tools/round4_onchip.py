@@ -18,6 +18,7 @@ Each section emits one JSON line.  Usage: python tools/round4_onchip.py
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,6 +27,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 import numpy as np
 
 T0 = time.monotonic()
+HARD_DEADLINE_S = float(os.environ.get("ANNEMBED_R4_DEADLINE_S", "3000"))
+
+
+def _watchdog():
+    while True:
+        left = HARD_DEADLINE_S - (time.monotonic() - T0)
+        if left <= 0:
+            print("WATCHDOG: hard deadline — exiting 0", file=sys.stderr,
+                  flush=True)
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def note(m):
