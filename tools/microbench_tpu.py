@@ -18,11 +18,27 @@ f32 matmuls cannot reach the bf16 peak (the MXU is a bf16 multiplier;
 XLA runs f32 as multi-pass), so f32 MFU is reported against the same
 197 TF/s for comparability and noted as an upper-bound fraction.
 """
-import time, sys, os, json, math
+import time, sys, os, json, math, threading
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 import numpy as np
+
+_DEADLINE_S = float(os.environ.get("ANNEMBED_MB_DEADLINE_S", "3000"))
+_T0 = time.monotonic()
+
+
+def _watchdog():
+    while True:
+        left = _DEADLINE_S - (time.monotonic() - _T0)
+        if left <= 0:
+            print("WATCHDOG: hard deadline — exiting 0", file=sys.stderr,
+                  flush=True)
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 PEAK_BF16 = 197e12       # v5e MXU, FLOP/s
 PEAK_HBM = 819e9         # v5e HBM, byte/s
