@@ -372,36 +372,22 @@ def _neighbor_rejection(pos, idxT, shifts, n: int, n_neg: int):
     pairs it with (pos_i + shifts[t]) mod n — reject when that partner
     is one of its neighbours ``idxT[:, i]`` (embedder.rs:1246-1252).
 
-    Two bit-identical formulations, dispatched by shape
-    (property-tested equal in tests/test_dense.py):
+    Direct (n_neg, k, nb) broadcast compare + any-reduce.  A round-4
+    "shift membership" reformulation (searchsorted the (k, nb)
+    displacement table against the sorted shifts + one k x nb
+    scatter-max, O(k nb log n_neg) elementwise work) was tried and is
+    a TPU LOSER at every measured shape — XLA scatter's constant
+    dwarfs the elementwise savings:
 
-    * SHIFT membership: partner == idxT[k, i] iff
-      shifts[t] == (idxT[k, i] - pos_i) mod n.  Searchsorted the (k, nb)
-      displacement table against the n_neg sorted shifts + one k x nb
-      scatter-max: O(k nb log n_neg) elementwise work, a ~1/n_neg cut of
-      the direct compare.  This wins at the bench operating point
-      (n_neg = 20, k = 6) where the (n_neg, k, nb) tensor is the sweep's
-      single biggest elementwise op.
-    * DIRECT (n_neg, k, nb) broadcast compare + any-reduce.  When n_neg
-      is small the direct tensor is only n_neg x the scatter's own
-      update volume, and the scatter's constant is catastrophic at
-      production shapes (measured CPU A/B, PERF.md round-4: k=100
-      nb=440k n_neg=2 -> scatter 496 ms vs compare 6 ms; nb=2M ->
-      2356 ms vs 7 ms — the round-4 11M optimize regression, 4169 s vs
-      the expected ~1600 s, was exactly 36k sweeps of this scatter).
+    * bench point (k=6, nb=70k, n_neg=20): optimize 13.4 s vs 0.739 s
+      steady on chip (round4b_chip rows; ~16 ms/sweep of scatter);
+    * Higgs shapes (k=100, nb=440k/2M, n_neg=2): CPU A/B 496/2356 ms
+      vs 6/7 ms per mask — it cost the 11M runs 2.6x in
+      entropy_optimization (4 169 s vs ~1 600 s expected).
 
-    Shifts are distinct by construction (stride multiples below n), so
-    the scatter-max is exact."""
-    k, nb = idxT.shape
-    if n_neg >= 8 and k * nb <= (1 << 23):
-        d_tab = (idxT - pos[None, :]) % n               # (k, nb)
-        order = jnp.argsort(shifts)
-        ss = shifts[order]                              # sorted (n_neg,)
-        p = jnp.clip(jnp.searchsorted(ss, d_tab), 0, n_neg - 1)
-        hit = ss[p] == d_tab                            # (k, nb)
-        t_orig = order[p]                               # (k, nb)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
-        return jnp.zeros((n_neg, nb), bool).at[t_orig, cols].max(hit)
+    The direct compare is what every recorded-good wall (0.739 s bench,
+    round-3 11M 1 797 s) actually ran.  Kept as the single formulation;
+    tests/test_dense.py pins it against an independent oracle."""
     nid = (pos[None, :] + shifts[:, None]) % n          # (n_neg, nb)
     return (nid[:, None, :] == idxT[None, :, :]).any(1)
 

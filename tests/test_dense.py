@@ -488,15 +488,13 @@ def test_neighbor_exclusion_off_runs(rng):
 
 
 def test_neighbor_rejection_mask_equivalence(rng):
-    """The searchsorted shift-membership mask equals the direct
-    (n_neg, k, nb) compare bit-for-bit across random shapes/offsets.
-    Even trials force n_neg >= 8 so the searchsorted branch of the
-    shape dispatch (dense.py _neighbor_rejection) is always hit; odd
-    trials draw small n_neg, exercising the direct branch."""
+    """The vectorized rejection mask equals a scalar python oracle
+    ("is (pos_i + shift_t) mod n one of i's neighbours?") bit-for-bit
+    across random shapes/offsets — embedder.rs:1246-1252 semantics."""
     import jax.numpy as jnp
     from annembed_tpu.optim.dense import _neighbor_rejection
-    for trial in range(12):
-        n = int(rng.integers(40, 400))
+    for trial in range(8):
+        n = int(rng.integers(40, 200))
         nb = int(rng.integers(8, n + 1))
         lo = int(rng.integers(0, n - nb + 1))
         k = int(rng.integers(2, 8))
@@ -504,14 +502,18 @@ def test_neighbor_rejection_mask_equivalence(rng):
                  else int(rng.integers(1, 8)))
         stride = max(1, n // n_neg)
         offset = int(rng.integers(0, n))
-        idxT = jnp.asarray(rng.integers(0, n, size=(k, nb)), jnp.int32)
+        idx_np = rng.integers(0, n, size=(k, nb)).astype(np.int32)
+        idxT = jnp.asarray(idx_np)
         pos = lo + jnp.arange(nb, dtype=jnp.int32)
         shifts = (offset + stride * jnp.arange(n_neg, dtype=jnp.int32)) % n
-        nid = (pos[None, :] + shifts[:, None]) % n
-        direct = (nid[:, None, :] == idxT[None, :, :]).any(1)
+        oracle = np.zeros((n_neg, nb), bool)
+        for t in range(n_neg):
+            s = int(np.asarray(shifts)[t])
+            for i in range(nb):
+                partner = (lo + i + s) % n
+                oracle[t, i] = partner in idx_np[:, i]
         fast = _neighbor_rejection(pos, idxT, shifts, n, n_neg)
-        np.testing.assert_array_equal(np.asarray(fast),
-                                      np.asarray(direct),
+        np.testing.assert_array_equal(np.asarray(fast), oracle,
                                       err_msg=str((n, nb, lo, k, n_neg,
                                                    offset)))
 
