@@ -215,11 +215,10 @@ def embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
         if embed_cache:
             # eager dump (the np conversion is a readback; big runs are
             # already in sync mode via _ensure_eager_execution above).
-            # CHUNKED readback with per-chunk logging: both round-4 11M
-            # attempts wedged (zero socket traffic) inside the single
-            # 88 MB whole-array readback right here, ~72-74 min into
-            # process lifetime; chunking localizes a recurrence to a
-            # specific chunk and keeps each RPC small
+            # CHUNKED readback with per-chunk logging: bounds each RPC
+            # to ~8 MB and, should a transfer ever stall, the last
+            # logged chunk pins where (one 88 MB whole-array readback
+            # was the repo's largest single device->host RPC)
             from .io.checkpoint import save_embedding
             logger.info("optimize returned; reading back embedding "
                         "(%d rows, chunked)", y_dev.shape[0])

@@ -180,6 +180,15 @@ class Embedder:
         optimizer = p.optimizer
         if optimizer == "dense!":
             optimizer = "dense"
+        # start-of-phase log: the hierarchical path runs TWO of these
+        # phases (small then large), and the large one can be silent
+        # for its whole multi-minute/hour wall (few long multi-sweep
+        # programs).  Two round-4 11M runs were killed as "wedged"
+        # because the small phase's end log was mistaken for the whole
+        # optimize and the large phase then looked like a stall.
+        logger.info("entropy optimization: starting (n=%d, k=%d, "
+                    "optimizer=%s, batches=%d)", g.nb_nodes,
+                    g.indices.shape[1], optimizer, p.nb_grad_batch)
         with device_trace(p.trace_dir), \
                 self.timer.phase("entropy_optimization") as sync:
             if optimizer == "dense":
