@@ -211,8 +211,10 @@ def run_once(x, sync_element=False):
     # rerank: 0.9971 index agreement with the exact-sort build at 2.3x
     # the speed (PERF.md roofline study — the exact lax.top_k is ~70%
     # of the panel wall); recall is reported in the JSON tail
-    idx, dist = knn_graph_brute(x, KNBN, block_rows=2048,
-                                dtype="bfloat16", topk_recall=0.99)
+    idx, dist = knn_graph_brute(
+        x, KNBN,
+        block_rows=int(os.environ.get("ANNEMBED_BENCH_KNN_BLOCK", "2048")),
+        dtype="bfloat16", topk_recall=0.99)
     idx.block_until_ready()
     t["knn"] = time.perf_counter() - t0
     g = KGraph(indices=idx, dists=dist)
@@ -220,11 +222,15 @@ def run_once(x, sync_element=False):
     t0 = time.perf_counter()
     # env knobs for on-chip lever A/Bs of the FULL protocol (defaults =
     # the recorded configuration; flips require a chip-measured win —
-    # the packed-gather lesson): both levers are quality-neutral on
-    # the CPU A/Bs (PERF.md round-4 lever tables)
+    # the packed-gather/scatter-mask lesson).  svd_n_iter defaults to 2
+    # after the round-4 chip A/B: dmap_init 0.307 -> 0.194 s with
+    # conservation at the noise floor on BOTH the CPU quality A/B and
+    # the chip bench tail (56 600/43 725 at iters=2 vs 57 293/44 480 at
+    # 5 — the iters=2 run came out slightly BETTER; the library default
+    # stays 5 = reference parity, this is a bench operating point).
     dm = DiffusionMaps(params=DiffusionParams(
         asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12,
-        svd_n_iter=int(os.environ.get("ANNEMBED_BENCH_SVD_ITERS", "5"))))
+        svd_n_iter=int(os.environ.get("ANNEMBED_BENCH_SVD_ITERS", "2"))))
     init = dm.embed_from_kgraph(g)
     init = set_data_box(init, 10.0)
     init.block_until_ready()
@@ -242,6 +248,8 @@ def run_once(x, sync_element=False):
     # control's 57793 / 1.120; two-phase (20,30)+(10,60) at 1140
     # sweeps measured the same, halving further to 570 degrades —
     # PERF.md round-3 granularity study).
+    # parallel kicks: quality-neutral but a chip WALL LOSS (optimize
+    # 0.780 vs 0.739 s, round-4 lever run) — default stays off
     params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
                             n_sub_schedule=((15, 15), (10, 30), (5, 60)),
                             dense_parallel_kicks=bool(int(os.environ.get(
