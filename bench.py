@@ -9,7 +9,10 @@ possible in this environment; the arithmetic is identical).
 
 Pipeline timed: exact kNN graph (70k x 70k MXU panels + top-k) ->
 diffusion-maps initialization (randomized SVD) -> probability-edge
-calibration -> 30 batches of CE negative-sampling SGD.
+calibration -> CE negative-sampling SGD under the adopted coarse->fine
+schedule (705 executed sweeps; conservation equal to the reference's
+flat 30-batch form at this operating point — quality A/Bs in PERF.md,
+and the bench tail re-reports conservation every run).
 
 Output protocol (driver-budget hardened after round 2's rc=124):
   * headline JSON line:
@@ -242,16 +245,18 @@ def run_once(x, sync_element=False):
     t["proba"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    # coarse->fine n_sub schedule: 765 sweeps instead of flat
-    # n_sub=60's 1740 at equal conservation (CPU A/B at this exact
-    # operating point: no_match 57395 / matched 1.127 vs the flat
-    # control's 57793 / 1.120; two-phase (20,30)+(10,60) at 1140
-    # sweeps measured the same, halving further to 570 degrades —
-    # PERF.md round-3 granularity study).
+    # coarse->fine n_sub schedule: 705 executed sweeps instead of flat
+    # n_sub=60's 1740 at equal conservation.  Round-3 granularity
+    # study pinned the c2f form (765 sweeps, no_match 57395/1.127 vs
+    # flat 57793/1.120; 570 degrades); the round-4 tail A/B trims the
+    # fine tail (5->4 x 60) at the noise floor (705: 57269/44593 vs
+    # 765: 57229/44316 honest/compat no-match — tools/ab_schedule_tail).
     # parallel kicks: quality-neutral but a chip WALL LOSS (optimize
     # 0.780 vs 0.739 s, round-4 lever run) — default stays off
-    params = EmbedderParams(asked_dim=DIM, nb_grad_batch=NB_GRAD_BATCH,
-                            n_sub_schedule=((15, 15), (10, 30), (5, 60)),
+    sched = ((15, 15), (10, 30), (4, 60))
+    params = EmbedderParams(asked_dim=DIM,
+                            nb_grad_batch=sum(b for b, _ in sched),
+                            n_sub_schedule=sched,
                             dense_parallel_kicks=bool(int(os.environ.get(
                                 "ANNEMBED_BENCH_PARALLEL_KICKS", "0"))))
     y, info = run_dense_optimization(init, g, npar, params, n_sub=15)
