@@ -160,10 +160,28 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # switches candidate selection to ApproxTopK (+ exact rerank) —
         # the sort-based top-k dominates this phase's wall at 11M; the
         # radius then carries the (tiny) residual candidate-miss
-        # probability, 0 = fully exact (default)
+        # probability, 0 = fully exact (default).
+        # QUERY SLABS: one knn_search_brute call packs every query
+        # block x one corpus chunk into a single device program; at
+        # k_search ~ 250 (compat radius) that program crossed the axon
+        # runtime's continuous-execution kill threshold and faulted
+        # the device (UNAVAILABLE "kernel fault", observed at BOTH
+        # 1.65M and 11M on 2026-08-19 — round 3's k=101 runs just
+        # fit).  Slabbing the queries bounds each program; results are
+        # identical (the search is exact per row).
         tr = knn_params.topk_recall if knn_params is not None else 0.0
-        _, sd = knn_search_brute(y_rows, y, k=k_search + 1,
-                                 topk_recall=tr)
+        import os as _os
+        slab = int(_os.environ.get("ANNEMBED_QUALITY_QUERY_SLAB",
+                                   "50000"))
+        sds = []
+        for i0 in range(0, m, slab):
+            _, sd_i = knn_search_brute(y_rows[i0:i0 + slab], y,
+                                       k=k_search + 1, topk_recall=tr)
+            sd_i.block_until_ready()
+            sds.append(sd_i)
+            logger.info("quality radius search: %d/%d queries",
+                        min(i0 + slab, m), m)
+        sd = jnp.concatenate(sds, axis=0) if len(sds) > 1 else sds[0]
         radius = sd[:, radius_k]
         radius_compat = (sd[:, radius_k_compat]
                          if radius_k_compat else None)
