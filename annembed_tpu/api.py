@@ -325,8 +325,12 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
         else:
             g = build_kgraph(x, nbng, distance=distance,
                              params=knn_params)
+        t_g = time.perf_counter() - t0
+        logger.info("dmap: graph built in %.1fs; spectral embedding", t_g)
         y = np.asarray(dm.embed_from_kgraph(g, mesh=mesh))
-        info = {"nb_embedded": int(x.shape[0])}
+        info = {"nb_embedded": int(x.shape[0]),
+                "graph_build_time": round(t_g, 1),
+                "dmap_time": round(time.perf_counter() - t0 - t_g, 1)}
     info["total_time"] = time.perf_counter() - t0
     if outfile:
         from .io.csv_io import write_csv_array2

@@ -187,7 +187,14 @@ def main():
 
     t0 = time.perf_counter()
     if args.dmap:
-        y, info = at.dmap_embed(x, dim=5, alfa=1.0, beta=0.0, nbng=8)
+        # tuned build knobs (bf16 join panels, nprobe, rho-sampled
+        # NN-descent) — the default KnnParams build at 6.6M is ~4x
+        # slower and blew the round-4 harness timeout
+        kp = KnnParams(knbn=8, nprobe=args.nprobe, dtype="bfloat16",
+                       refine_rounds=args.refine_rounds,
+                       nndescent_rho=args.rho)
+        y, info = at.dmap_embed(x, dim=5, alfa=1.0, beta=0.0, nbng=8,
+                                knn_params=kp)
         g = None
     else:
         # bf16 IVF join panels: identical recall (exact L2 rerank in the
