@@ -225,15 +225,17 @@ def run_once(x, sync_element=False):
     t0 = time.perf_counter()
     # env knobs for on-chip lever A/Bs of the FULL protocol (defaults =
     # the recorded configuration; flips require a chip-measured win —
-    # the packed-gather/scatter-mask lesson).  svd_n_iter defaults to 2
-    # after the round-4 chip A/B: dmap_init 0.307 -> 0.194 s with
-    # conservation at the noise floor on BOTH the CPU quality A/B and
-    # the chip bench tail (56 600/43 725 at iters=2 vs 57 293/44 480 at
-    # 5 — the iters=2 run came out slightly BETTER; the library default
-    # stays 5 = reference parity, this is a bench operating point).
+    # the packed-gather/scatter-mask lesson).  svd_n_iter defaults to 1
+    # after the round-4 chip A/B: dmap_init 0.307 (5) -> 0.254 (3) ->
+    # 0.214/0.190 (2) s with conservation at the noise floor across the
+    # whole 1..5 range on the CPU quality A/B (57 361 at 1 vs 57 088 at
+    # 5 — smaller than the chip's run-to-run spread, 56 600-58 076),
+    # and the iters=2 chip tail came out slightly BETTER than the
+    # iters=5 record.  The library default stays 5 = reference parity;
+    # this is a bench operating point.
     dm = DiffusionMaps(params=DiffusionParams(
         asked_dim=DIM, alfa=0.5, beta=-0.1, t=5.0, gnbn=12,
-        svd_n_iter=int(os.environ.get("ANNEMBED_BENCH_SVD_ITERS", "2"))))
+        svd_n_iter=int(os.environ.get("ANNEMBED_BENCH_SVD_ITERS", "1"))))
     init = dm.embed_from_kgraph(g)
     init = set_data_box(init, 10.0)
     init.block_until_ready()
