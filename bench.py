@@ -254,11 +254,19 @@ def run_once(x, sync_element=False):
     # fine tail (5->4 x 60) at the noise floor (705: 57269/44593 vs
     # 765: 57229/44316 honest/compat no-match — tools/ab_schedule_tail).
     # parallel kicks: quality-neutral but a chip WALL LOSS (optimize
-    # 0.780 vs 0.739 s, round-4 lever run) — default stays off
+    # 0.780 vs 0.739 s, round-4 lever run) — default stays off.
+    # neighbor exclusion: OFF at the bench point after the round-4 chip
+    # A/B (tools/round4_onchip.py section C): optimize 0.68 vs 0.71 s
+    # steady, conservation at the noise floor (honest no-match 57 126
+    # vs the 56 600-58 076 run-to-run spread).  The library default
+    # stays True = reference parity (negatives never sample true
+    # neighbours); this is a bench operating point like svd_n_iter.
     sched = ((15, 15), (10, 30), (4, 60))
     params = EmbedderParams(asked_dim=DIM,
                             nb_grad_batch=sum(b for b, _ in sched),
                             n_sub_schedule=sched,
+                            dense_neighbor_exclusion=bool(int(os.environ.get(
+                                "ANNEMBED_BENCH_NEIGHBOR_EXCL", "0"))),
                             dense_parallel_kicks=bool(int(os.environ.get(
                                 "ANNEMBED_BENCH_PARALLEL_KICKS", "0"))))
     y, info = run_dense_optimization(init, g, npar, params, n_sub=15)
