@@ -163,17 +163,57 @@ def full_svd_dense(a: jnp.ndarray) -> SvdResult:
 # COO sparse operator (the k-sparse graph Laplacian)
 # ---------------------------------------------------------------------------
 
+#: One-shot SpMM materializes a (nnz, r) gather intermediate; above
+#: this edge count it is sliced into edge slabs under a fori_loop so
+#: HBM holds one slab at a time.  6.6M x 17 edges (nnz 112M) at r=30
+#: OOM'd a 16G chip by 0.5G with the one-shot form (f32[112.2M,30]
+#: = 13.4G HLO temp, PERF.md round-4 dmap row); the slabbed form
+#: peaks at slab*r.  Env override: ANNEMBED_COO_EDGE_SLAB.
+_COO_SLAB_THRESHOLD = 16_000_000
+_COO_EDGE_SLAB = int(os.environ.get("ANNEMBED_COO_EDGE_SLAB",
+                                    4_000_000))
+
+
 def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
                n_rows: int):
     """Return matmat closure computing A @ X for COO A of shape
     (n_rows, *): one gather + scatter-add, replacing sprs
-    ``csr_mulacc_dense_rowmaj`` (svdapprox.rs:366)."""
+    ``csr_mulacc_dense_rowmaj`` (svdapprox.rs:366).
 
-    def matmat(x: jnp.ndarray) -> jnp.ndarray:
-        contrib = vals[:, None] * x[cols]              # (nnz, r)
-        return jnp.zeros((n_rows, x.shape[1]), x.dtype).at[rows].add(contrib)
+    Large operators (nnz > ~16M) run the same gather/scatter in edge
+    slabs under ``lax.fori_loop`` — identical results (f32 scatter-add
+    order within a slab is unchanged; across slabs addition order
+    shifts by at most slab boundaries), bounded HBM temps.
+    """
+    nnz = int(rows.shape[0])
+    if nnz <= max(_COO_SLAB_THRESHOLD, _COO_EDGE_SLAB):
+        def matmat(x: jnp.ndarray) -> jnp.ndarray:
+            contrib = vals[:, None] * x[cols]          # (nnz, r)
+            return jnp.zeros((n_rows, x.shape[1]),
+                             x.dtype).at[rows].add(contrib)
 
-    return matmat
+        return matmat
+
+    slab = _COO_EDGE_SLAB
+    n_slabs = -(-nnz // slab)
+    pad = n_slabs * slab - nnz
+    # zero-valued pads aimed at row/col 0: contribute exactly 0
+    rows_p = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+    cols_p = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+    vals_p = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+    def matmat_slabbed(x: jnp.ndarray) -> jnp.ndarray:
+        def body(i, acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, i * slab, slab)
+            contrib = sl(vals_p)[:, None] * x[sl(cols_p)]  # (slab, r)
+            return acc.at[sl(rows_p)].add(contrib)
+
+        return jax.lax.fori_loop(
+            0, n_slabs, body,
+            jnp.zeros((n_rows, x.shape[1]), x.dtype))
+
+    return matmat_slabbed
 
 
 @functools.partial(jax.jit, static_argnames=("n", "rank", "n_iter",

@@ -161,6 +161,46 @@ def main():
     from annembed_tpu.params import EmbedderParams, KnnParams
 
     import os
+
+    # Channel-preflight watchdog (tunnel hazard: a fresh process's
+    # channel setup can wedge for 25+ min with zero socket traffic —
+    # PERF.md "BLOCKED twice by channel-setup stalls").  With
+    # ANNEMBED_CHANNEL_DEADLINE_S set, a daemon thread forces the
+    # first device readback immediately (concurrent with data prep);
+    # if it hasn't completed by the deadline the process exits 17 so
+    # a retry loop can relaunch cheaply instead of eating a long
+    # timeout.
+    ch_deadline = float(os.environ.get("ANNEMBED_CHANNEL_DEADLINE_S",
+                                       "0") or 0)
+    if ch_deadline > 0:
+        import threading
+
+        import jax
+
+        _ch_ok = threading.Event()
+
+        def _probe():
+            t = time.perf_counter()
+            try:
+                v = jax.device_put(np.float32(1.0))
+                np.asarray(v)
+                _ch_ok.set()
+                print(f"channel preflight ok "
+                      f"({time.perf_counter() - t:.1f} s)",
+                      file=sys.stderr, flush=True)
+            except Exception as exc:  # pragma: no cover - remote only
+                print(f"channel preflight error: {exc}",
+                      file=sys.stderr, flush=True)
+
+        def _watch():
+            if not _ch_ok.wait(ch_deadline):
+                print(f"channel preflight DEADLINE "
+                      f"({ch_deadline:.0f} s): wedged channel, exit 17",
+                      file=sys.stderr, flush=True)
+                os._exit(17)
+
+        threading.Thread(target=_probe, daemon=True).start()
+        threading.Thread(target=_watch, daemon=True).start()
     if args.data_cache and os.path.exists(args.data_cache):
         x = np.load(args.data_cache)
         if args.synthetic and x.shape[0] != args.synthetic:

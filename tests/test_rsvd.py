@@ -66,6 +66,25 @@ def test_coo_matmat_matches_dense(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_coo_matmat_slabbed_matches_oneshot(rng, monkeypatch):
+    # force the large-nnz edge-slab path and pin it to the one-shot form
+    import annembed_tpu.linalg.rsvd as rsvd_mod
+    n, m = 60, 45
+    nnz = 1000
+    rows = rng.integers(0, n, nnz).astype(np.int32)
+    cols = rng.integers(0, m, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    x = rng.normal(size=(m, 9)).astype(np.float32)
+    one_shot = coo_matmat(jnp.asarray(rows), jnp.asarray(cols),
+                          jnp.asarray(vals), n)(jnp.asarray(x))
+    monkeypatch.setattr(rsvd_mod, "_COO_SLAB_THRESHOLD", 0)
+    monkeypatch.setattr(rsvd_mod, "_COO_EDGE_SLAB", 128)  # 8 slabs + pad
+    slabbed = rsvd_mod.coo_matmat(jnp.asarray(rows), jnp.asarray(cols),
+                                  jnp.asarray(vals), n)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(slabbed), np.asarray(one_shot),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_randomized_svd_on_coo_operator(rng):
     # symmetric graph-like operator via COO closures
     n = 100
