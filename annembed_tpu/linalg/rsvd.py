@@ -174,25 +174,20 @@ _COO_EDGE_SLAB = int(os.environ.get("ANNEMBED_COO_EDGE_SLAB",
                                     4_000_000))
 
 
-def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
-               n_rows: int):
-    """Return matmat closure computing A @ X for COO A of shape
-    (n_rows, *): one gather + scatter-add, replacing sprs
-    ``csr_mulacc_dense_rowmaj`` (svdapprox.rs:366).
-
-    Large operators (nnz > ~16M) run the same gather/scatter in edge
-    slabs under ``lax.fori_loop`` — identical results (f32 scatter-add
-    order within a slab is unchanged; across slabs addition order
-    shifts by at most slab boundaries), bounded HBM temps.
-    """
+def spmm_scatter(rows: jnp.ndarray, cols: jnp.ndarray,
+                 vals: jnp.ndarray, x: jnp.ndarray,
+                 n_rows: int) -> jnp.ndarray:
+    """COO SpMM A @ X by gather + scatter-add, with the gather sliced
+    into edge slabs under ``lax.fori_loop`` once nnz crosses the slab
+    threshold — identical results (f32 scatter-add order within a slab
+    is unchanged; across slabs addition order shifts by at most slab
+    boundaries), bounded HBM temps.  Shared by the single-chip
+    ``coo_matmat`` closure and the per-device shard of
+    ``parallel/sharded_svd.py``."""
     nnz = int(rows.shape[0])
     if nnz <= max(_COO_SLAB_THRESHOLD, _COO_EDGE_SLAB):
-        def matmat(x: jnp.ndarray) -> jnp.ndarray:
-            contrib = vals[:, None] * x[cols]          # (nnz, r)
-            return jnp.zeros((n_rows, x.shape[1]),
-                             x.dtype).at[rows].add(contrib)
-
-        return matmat
+        contrib = vals[:, None] * x[cols]              # (nnz, r)
+        return jnp.zeros((n_rows, x.shape[1]), x.dtype).at[rows].add(contrib)
 
     slab = _COO_EDGE_SLAB
     n_slabs = -(-nnz // slab)
@@ -202,18 +197,26 @@ def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
     cols_p = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
     vals_p = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
 
-    def matmat_slabbed(x: jnp.ndarray) -> jnp.ndarray:
-        def body(i, acc):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                a, i * slab, slab)
-            contrib = sl(vals_p)[:, None] * x[sl(cols_p)]  # (slab, r)
-            return acc.at[sl(rows_p)].add(contrib)
+    def body(i, acc):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * slab, slab)
+        contrib = sl(vals_p)[:, None] * x[sl(cols_p)]  # (slab, r)
+        return acc.at[sl(rows_p)].add(contrib)
 
-        return jax.lax.fori_loop(
-            0, n_slabs, body,
-            jnp.zeros((n_rows, x.shape[1]), x.dtype))
+    return jax.lax.fori_loop(0, n_slabs, body,
+                             jnp.zeros((n_rows, x.shape[1]), x.dtype))
 
-    return matmat_slabbed
+
+def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
+               n_rows: int):
+    """Return matmat closure computing A @ X for COO A of shape
+    (n_rows, *): one gather + scatter-add, replacing sprs
+    ``csr_mulacc_dense_rowmaj`` (svdapprox.rs:366).  Large operators
+    run edge-slabbed (see ``spmm_scatter``)."""
+
+    def matmat(x: jnp.ndarray) -> jnp.ndarray:
+        return spmm_scatter(rows, cols, vals, x, n_rows)
+
+    return matmat
 
 
 @functools.partial(jax.jit, static_argnames=("n", "rank", "n_iter",

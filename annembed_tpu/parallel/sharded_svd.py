@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from jax import shard_map
 
-from ..linalg.rsvd import SvdResult, randomized_svd_op
+from ..linalg.rsvd import SvdResult, randomized_svd_op, spmm_scatter
 
 
 def sharded_randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
@@ -68,9 +68,9 @@ def _sharded_svd_jit(rows, cols, vals, key, mesh: Mesh, n: int,
                      rank: int, n_iter: int, n_oversample: int):
     def local(r_l, c_l, v_l, key):
         def matmat(x):
-            contrib = v_l[:, None] * x[c_l]            # (nnz/ndev, r)
-            part = jnp.zeros((n, x.shape[1]),
-                             x.dtype).at[r_l].add(contrib)
+            # edge-slabbed above the slab threshold (the per-device
+            # (nnz/ndev, r) gather is ~2G at 11M/8dev otherwise)
+            part = spmm_scatter(r_l, c_l, v_l, x, n)
             return jax.lax.psum(part, "data")
 
         res = randomized_svd_op(matmat, matmat, (n, n), rank,
