@@ -156,7 +156,7 @@ def symmetric_coo_apply(plan: SymCooPlan, weights: jnp.ndarray,
 
 def coo_to_dense(rows, cols, vals, n: int) -> jnp.ndarray:
     """Materialize a COO graph as a dense (n, n) matrix (tests / small n)."""
-    return jnp.zeros((n, n), jnp.float32).at[rows, cols].add(vals)
+    return jnp.zeros((n, n), vals.dtype).at[rows, cols].add(vals)
 
 
 def in_degree_counts(g: KGraph) -> jnp.ndarray:

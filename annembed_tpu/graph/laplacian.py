@@ -64,7 +64,7 @@ class GraphLaplacian:
         (parallel/sharded_svd.py) — the spectral init then runs
         multi-chip like every other pipeline phase."""
         if self.n <= FULL_SVD_SIZE_LIMIT:
-            res = full_svd_dense(self.to_dense())
+            res = full_svd_dense(self.to_dense(), dtype=self.vals.dtype)
         else:
             rank = max(asked_dim, 20)
             if key is None:
@@ -94,7 +94,7 @@ def laplacian_from_probas(g: KGraph, probas: jnp.ndarray) -> GraphLaplacian:
     """
     n = g.nb_nodes
     rows, cols, vals = symmetric_coo(g, weights=probas, mode="mean")
-    diag = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
+    diag = jnp.zeros((n,), vals.dtype).at[rows].add(vals)
     d_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
     vals = vals * d_inv_sqrt[rows] * d_inv_sqrt[cols]
     return GraphLaplacian(rows=rows, cols=cols, vals=vals, normalizer=diag,
@@ -110,10 +110,10 @@ def alfa_normalize_coo(rows, cols, vals, n: int, alfa):
       D_i   = new row sums (q_{eps,alfa} in Berry-Harlim)
       K_ij /= sqrt(D_i D_j)
     Returns (vals, normalizer=sqrt(D)) (diffmaps.rs:565,579-584)."""
-    q = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
+    q = jnp.zeros((n,), vals.dtype).at[rows].add(vals)
     q = q / jnp.mean(q)
     vals = vals / jnp.power(jnp.maximum(q[rows] * q[cols], 1e-30), alfa)
-    degrees = jnp.zeros((n,), jnp.float32).at[rows].add(vals)
+    degrees = jnp.zeros((n,), vals.dtype).at[rows].add(vals)
     d_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(degrees, 1e-30))
     vals = vals * d_inv_sqrt[rows] * d_inv_sqrt[cols]
     return vals, jnp.sqrt(jnp.maximum(degrees, 0.0))

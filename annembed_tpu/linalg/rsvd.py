@@ -116,19 +116,27 @@ def randomized_svd_op(matmat: Callable, rmatmat: Callable,
                       shape: tuple[int, int], rank: int,
                       n_iter: int = 5, n_oversample: int = 10,
                       key: Optional[jax.Array] = None,
-                      epsil: Optional[float] = None) -> SvdResult:
+                      epsil: Optional[float] = None,
+                      dtype=jnp.float32) -> SvdResult:
     """Truncated SVD of a linear operator given by matmat closures.
 
     ``rank`` singular triplets are returned (after an oversampled range
     pass).  If ``epsil`` is given, triplets with s_i <= epsil * s_0 are
     additionally zeroed/truncated — the compiled stand-in for the
     reference's adaptive RangePrecision mode (svdapprox.rs:155,444).
+
+    ``dtype=jnp.float64`` gives the f64 path (the reference is generic
+    over ``F: Float``, svdapprox.rs:210); requires x64 enabled
+    (``jax.config.update("jax_enable_x64", True)`` or the
+    ``jax.experimental.enable_x64`` context) and closures that preserve
+    the probe dtype.
     """
     m, n = shape
     if key is None:
         key = jax.random.PRNGKey(4664397)  # reference seed svdapprox.rs:70
     l = min(rank + n_oversample, min(m, n))
-    q = subspace_range(matmat, rmatmat, n, l, n_iter, key)  # (m, l)
+    q = subspace_range(matmat, rmatmat, n, l, n_iter, key,
+                       dtype=dtype)  # (m, l)
     b = rmatmat(q).T  # (l, n)  == Q^T A
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
     u = q @ ub
@@ -143,18 +151,21 @@ def randomized_svd_op(matmat: Callable, rmatmat: Callable,
 def randomized_svd_dense(a: jnp.ndarray, rank: int, n_iter: int = 5,
                          n_oversample: int = 10,
                          key: Optional[jax.Array] = None,
-                         epsil: Optional[float] = None) -> SvdResult:
+                         epsil: Optional[float] = None,
+                         dtype=jnp.float32) -> SvdResult:
     """Randomized SVD of a dense matrix (MatMode::FULL path)."""
-    a = jnp.asarray(a, jnp.float32)
+    a = jnp.asarray(a, dtype)
     matmat = lambda x: a @ x
     rmatmat = lambda x: a.T @ x
     return randomized_svd_op(matmat, rmatmat, a.shape, rank, n_iter,
-                             n_oversample, key, epsil)
+                             n_oversample, key, epsil, dtype=dtype)
 
 
-def full_svd_dense(a: jnp.ndarray) -> SvdResult:
-    """Exact SVD (reference svd_f32 -> LAPACK gesdd, graphlaplace.rs:296)."""
-    u, s, vt = jnp.linalg.svd(jnp.asarray(a, jnp.float32),
+def full_svd_dense(a: jnp.ndarray, dtype=jnp.float32) -> SvdResult:
+    """Exact SVD (reference svd_f32 -> LAPACK gesdd, graphlaplace.rs:296;
+    the reference is also generic over f64 — pass ``dtype=jnp.float64``
+    with x64 enabled for that path)."""
+    u, s, vt = jnp.linalg.svd(jnp.asarray(a, dtype),
                               full_matrices=False)
     return SvdResult(u=u, s=s, vt=vt)
 
@@ -228,7 +239,8 @@ def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
     dispatch/compile count low on remote-compile backends)."""
     mm = coo_matmat(rows, cols, vals, n)
     return randomized_svd_op(mm, mm, (n, n), rank, n_iter=n_iter,
-                             n_oversample=n_oversample, key=key)
+                             n_oversample=n_oversample, key=key,
+                             dtype=vals.dtype)
 
 
 def adaptive_range_finder(matmat: Callable, shape: tuple[int, int],

@@ -57,7 +57,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+from annembed_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/root/.jax_bench_cache")
 
 N = 70_000
 D = 784

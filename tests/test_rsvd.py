@@ -202,3 +202,21 @@ def test_cholqr_zero_panel_no_nan():
     from annembed_tpu.linalg.rsvd import _qr_q
     q = np.asarray(_qr_q(jnp.zeros((8192, 8), jnp.float32)))
     assert np.isfinite(q).all()
+
+
+def test_randomized_svd_wiki_f64():
+    """f64 escape hatch (VERDICT r4 item 8; the reference is generic
+    over F: Float, svdapprox.rs:210): the wiki fixture at float64
+    should reach far tighter tolerances than f32 allows."""
+    with jax.enable_x64():
+        res = randomized_svd_dense(jnp.asarray(WIKI, jnp.float64), rank=4,
+                                   n_iter=6, n_oversample=1,
+                                   dtype=jnp.float64)
+        assert res.s.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(res.s),
+                                   WIKI_SIGMA.astype(np.float64), atol=1e-10)
+        full = full_svd_dense(jnp.asarray(WIKI, jnp.float64),
+                              dtype=jnp.float64)
+        assert full.s.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(full.s),
+                                   WIKI_SIGMA.astype(np.float64), atol=1e-12)
