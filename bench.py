@@ -182,22 +182,14 @@ def _open_channel() -> None:
 
 
 def synthetic_mnist(n=N, d=D, seed=42) -> np.ndarray:
-    """Deterministic 10-cluster manifold lifted to 784 dims, scaled like
-    MNIST pixel data (so kernel scales are in a realistic regime)."""
-    rng = np.random.default_rng(seed)
-    latent_dim = 20
-    centers = rng.normal(size=(10, latent_dim)) * 6.0
-    labels = rng.integers(0, 10, n)
-    z = centers[labels] + rng.normal(size=(n, latent_dim))
-    lift = rng.normal(size=(latent_dim, d)) / np.sqrt(latent_dim)
-    x = z @ lift + 0.05 * rng.normal(size=(n, d))
-    x = (x - x.min()) / (x.max() - x.min()) * 255.0
-    # quantize to uint8 like real MNIST pixels: the host->device upload
-    # rides the (slow) tunnel — 55 MB instead of 220 MB (measured
-    # ~200 s for the f32 upload on 2026-08-17); converted to f32 on
-    # device.  Round-2 quality fields were recorded on the unquantized
-    # values — sub-1% drift expected.
-    return np.round(x).astype(np.uint8)
+    """Deterministic 10-cluster blob data lifted to 784 dims, scaled +
+    uint8-quantized like MNIST pixels (the upload rides the slow tunnel
+    at 1 byte/value; see io/synthetic.py).  Intrinsic dim 20 — the
+    timing workload, NOT a conservation fixture (its ~82% no-match is a
+    data property; the manifold row below is the conservation fixture).
+    """
+    from annembed_tpu.io.synthetic import synthetic_blobs
+    return synthetic_blobs(n, d, seed)
 
 
 def run_once(x, sync_element=False):
@@ -404,6 +396,38 @@ def _main_inner():
             "compat_median_ratio": round(q.compat["median_ratio"], 3),
         })
     print(_headline(wall, extra), flush=True)
+
+    # like-for-like conservation fixture (VERDICT r4 item 5): the SAME
+    # pipeline on a structured low-intrinsic-dim manifold at the SAME
+    # 70k x 784 shapes (all programs already compiled — one warm run).
+    # On data a 2-d embedding CAN represent, conservation must be
+    # reference-grade (fashion: 29% no-match / 5.07 of 6,
+    # embedder.rs:588-599); the CPU oracle A/B shows the per-sample
+    # reference-exact optimizer gets 5.60 of 6 here and the dense
+    # optimizer 5.41 — matched dynamics, recorded every round.
+    hard_left = HARD_DEADLINE_S - (time.monotonic() - T_START)
+    if hard_left > 150:
+        _note("manifold conservation row")
+        from annembed_tpu.io.synthetic import synthetic_clustered_manifold
+        xm = jnp.asarray(synthetic_clustered_manifold(N, D))
+        xm = xm.astype(jnp.float32)
+        ym, gm, _tm = run_once(xm)
+        qm = quality_estimate(gm, ym, nbng=50, radius_k_compat=125)
+        extra.update({
+            "manifold_no_match": int(qm.nb_without_match),
+            "manifold_mean_matched": round(qm.mean_nb_matched, 3),
+            "manifold_median_ratio": round(qm.median_ratio, 3),
+        })
+        if qm.compat is not None:
+            extra.update({
+                "manifold_compat_no_match":
+                    int(qm.compat["nb_without_match"]),
+                "manifold_compat_mean_matched":
+                    round(qm.compat["mean_nb_matched"], 3),
+            })
+        print(_headline(wall, extra), flush=True)
+    else:
+        _note(f"skipping manifold row ({hard_left:.0f}s to hard deadline)")
     _STATE["done"] = True
     # hard-exit: a normal return aborts in PJRT C++ teardown (rc 134)
     # if the channel thread is still blocked in a readback
