@@ -171,17 +171,26 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         # identical (the search is exact per row).
         tr = knn_params.topk_recall if knn_params is not None else 0.0
         import os as _os
-        slab = int(_os.environ.get("ANNEMBED_QUALITY_QUERY_SLAB",
-                                   "50000"))
-        sds = []
-        for i0 in range(0, m, slab):
-            _, sd_i = knn_search_brute(y_rows[i0:i0 + slab], y,
-                                       k=k_search + 1, topk_recall=tr)
-            sd_i.block_until_ready()
-            sds.append(sd_i)
-            logger.info("quality radius search: %d/%d queries",
-                        min(i0 + slab, m), m)
-        sd = jnp.concatenate(sds, axis=0) if len(sds) > 1 else sds[0]
+        if (y.shape[1] == 2 and tr == 0.0 and n > 50_000
+                and not _os.environ.get("ANNEMBED_QUALITY_EXACT_BRUTE")):
+            # certified grid search: same exact distances (bit-level,
+            # tests/test_radius.py) at a small fraction of the brute
+            # wall — the 11M quality phase's dominant cost was this
+            # search's full-corpus top-k sort (VERDICT r4 item 6)
+            from ..knn.radius import grid_radius_search
+            sd, _ = grid_radius_search(y, sample_ids, k_search + 1)
+        else:
+            slab = int(_os.environ.get("ANNEMBED_QUALITY_QUERY_SLAB",
+                                       "50000"))
+            sds = []
+            for i0 in range(0, m, slab):
+                _, sd_i = knn_search_brute(y_rows[i0:i0 + slab], y,
+                                           k=k_search + 1, topk_recall=tr)
+                sd_i.block_until_ready()
+                sds.append(sd_i)
+                logger.info("quality radius search: %d/%d queries",
+                            min(i0 + slab, m), m)
+            sd = jnp.concatenate(sds, axis=0) if len(sds) > 1 else sds[0]
         radius = sd[:, radius_k]
         radius_compat = (sd[:, radius_k_compat]
                          if radius_k_compat else None)
