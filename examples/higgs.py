@@ -152,6 +152,25 @@ def main():
     ap.add_argument("--refine-rounds", type=int, default=4)
     ap.add_argument("--rho", type=float, default=0.5,
                     help="NN-descent candidate sampling fraction")
+    ap.add_argument("--optimizer", default="dense",
+                    choices=["dense", "sampling"],
+                    help="CE optimizer: 'dense' (flagship closed-form "
+                         "multiplicity sweeps) or 'sampling' (the "
+                         "reference-exact per-sample dynamics, "
+                         "optim/ce.py) — the same-data oracle that "
+                         "splits data-artefact from optimizer dynamics "
+                         "in the conservation gap (VERDICT r4 item 2)")
+    ap.add_argument("--no-exclusion", action="store_true",
+                    help="skip the negative-sample neighbour-rejection "
+                         "test (dense_neighbor_exclusion=False): an "
+                         "O(k/n) repulsion surplus — negligible at "
+                         "millions of nodes, saves the sweep's biggest "
+                         "elementwise op (bench.py ships it; the "
+                         "library default stays reference-exact)")
+    ap.add_argument("--parallel-kicks", action="store_true",
+                    help="stacked repulsion kicks (dense_parallel_kicks)"
+                         ": one (n_neg, d, n) program instead of n_neg "
+                         "dependent chains; quality-neutral on CPU A/B")
     ap.add_argument("--json", action="store_true",
                     help="emit one machine-readable result line")
     ap.add_argument("--out", default="higgs_embedded.csv")
@@ -254,8 +273,12 @@ def main():
             graph_cache=args.graph_cache, graph_cache_eager=True,
             embed_cache=args.embed_cache, return_graph=True,
             params=EmbedderParams(grad_factor=5, hubness_weighting=True,
+                                  optimizer=args.optimizer,
                                   n_sub=args.n_sub,
                                   dense_n_blocks=args.n_blocks,
+                                  dense_neighbor_exclusion=(
+                                      not args.no_exclusion),
+                                  dense_parallel_kicks=args.parallel_kicks,
                                   n_sub_schedule=parse_schedule(
                                       args.schedule, args.batch,
                                       args.n_sub)))
