@@ -95,6 +95,61 @@ class QualityEstimate:
         return out
 
 
+def _ivf_radius(y, g, k_search, radius_k, radius_k_compat, knn_params,
+                mesh):
+    """Approximate embedded-space radius via the IVF graph rebuild —
+    the full-fraction path for d != 2 clouds and device meshes (the
+    2-d single-chip path uses the certified-exact grid search).
+
+    NN-descent refinement is skipped here: at nbng ~ 50 its candidate
+    set is (2*nbng)^2 per node (prohibitive at millions of points),
+    and the radius estimate only shifts marginally with IVF-level
+    recall.  The embedded cloud is low-d, so the grid quantizer's ~13
+    block probes replace the k-means quantizer's ~32 nearest-centroid
+    probes at equal recall — the dominant cost of this phase at 11M."""
+    if knn_params is None:
+        knn_params = KnnParams(
+            knbn=k_search, refine_rounds=0,
+            quantizer="grid" if y.shape[1] == 2 else "kmeans")
+    else:
+        # caller params carry the ORIGINAL-space tuning; keep the
+        # strategy knobs that transfer (brute_force_limit, nlist,
+        # nprobe, topk_recall) but force the embedded-space
+        # essentials: knbn=nbng, no NN-descent (see above), grid
+        # quantizer on the low-d cloud, and FLOAT32 panels — an
+        # inherited bfloat16 dtype corrupts low-d candidate
+        # selection (cancellation) so badly that the measured
+        # radius inflates and no-match deflates ~4x (PERF.md
+        # "quality radius was precision-inflated"); the f32 cost
+        # at d=2 is negligible next to the phase's gathers
+        import dataclasses
+        knn_params = dataclasses.replace(
+            knn_params, knbn=k_search, refine_rounds=0,
+            dtype="float32",
+            quantizer="grid" if y.shape[1] == 2
+            else knn_params.quantizer)
+    if mesh is not None:
+        # multi-chip: the embedded-space build (this phase's
+        # dominant cost at 11M) rides the same sharded joins as
+        # the original-space build — bit-identical results
+        from ..parallel.sharded_knn import sharded_build_kgraph
+        emb_graph = sharded_build_kgraph(y, k_search, mesh,
+                                         distance="DistL2",
+                                         params=knn_params)
+    else:
+        emb_graph = build_kgraph(y, k_search, distance="DistL2",
+                                 params=knn_params)
+    radius = emb_graph.dists[:, radius_k - 1]                # (n,)
+    radius_compat = (emb_graph.dists[:, radius_k_compat - 1]
+                     if radius_k_compat else None)
+    # drop the graph reference right away: its (n, nbng) indices +
+    # dists are ~4.4 GB at 11M x 50 and only the radius column is
+    # needed — holding them through the quantile sort below is what
+    # pushed the full-fraction path over the 11M HBM budget
+    del emb_graph
+    return radius, radius_compat
+
+
 @jax.jit
 def _edge_lengths_rows(y_rows, y, indices_rows):
     """(m, k) embedded L2 lengths for a row subset: y_rows (m, d) are
@@ -199,54 +254,26 @@ def quality_estimate(g: KGraph, y, nbng: int = 50,
         y_rows = y
         lengths = _edge_lengths_rows(y, y, g.indices)            # (n, k)
 
-        # embedded-space kNN graph: radius = nbng-th neighbour distance.
-        # NN-descent refinement is skipped here: at nbng ~ 50 its
-        # candidate set is (2*nbng)^2 per node (prohibitive at millions
-        # of points), and the radius estimate only shifts marginally
-        # with IVF-level recall.  The embedded cloud is low-d (usually
-        # 2), so the grid quantizer's ~13 block probes replace the
-        # k-means quantizer's ~32 nearest-centroid probes at equal
-        # recall — the dominant cost of this phase at 11M.
-        if knn_params is None:
-            knn_params = KnnParams(
-                knbn=k_search, refine_rounds=0,
-                quantizer="grid" if y.shape[1] == 2 else "kmeans")
+        import os as _os
+        if (y.shape[1] == 2 and n > 50_000 and mesh is None
+                and not _os.environ.get("ANNEMBED_QUALITY_IVF_RADIUS")):
+            # certified grid search gives the EXACT radius (the IVF
+            # rebuild below is ~0.992-recall approximate) at a lower
+            # wall and O(n) result memory (only the radius columns are
+            # kept); the IVF path stays for d != 2, meshes, and via
+            # the env escape hatch
+            from ..knn.radius import grid_radius_search
+            cols = ((radius_k, radius_k_compat) if radius_k_compat
+                    else (radius_k,))
+            sd2, _ = grid_radius_search(y, np.arange(n, dtype=np.int32),
+                                        k_search + 1, keep_cols=cols)
+            radius = sd2[:, 0]
+            radius_compat = sd2[:, 1] if radius_k_compat else None
+            del sd2
         else:
-            # caller params carry the ORIGINAL-space tuning; keep the
-            # strategy knobs that transfer (brute_force_limit, nlist,
-            # nprobe, topk_recall) but force the embedded-space
-            # essentials: knbn=nbng, no NN-descent (see above), grid
-            # quantizer on the low-d cloud, and FLOAT32 panels — an
-            # inherited bfloat16 dtype corrupts low-d candidate
-            # selection (cancellation) so badly that the measured
-            # radius inflates and no-match deflates ~4x (PERF.md
-            # "quality radius was precision-inflated"); the f32 cost
-            # at d=2 is negligible next to the phase's gathers
-            import dataclasses
-            knn_params = dataclasses.replace(
-                knn_params, knbn=k_search, refine_rounds=0,
-                dtype="float32",
-                quantizer="grid" if y.shape[1] == 2
-                else knn_params.quantizer)
-        if mesh is not None:
-            # multi-chip: the embedded-space build (this phase's
-            # dominant cost at 11M) rides the same sharded joins as
-            # the original-space build — bit-identical results
-            from ..parallel.sharded_knn import sharded_build_kgraph
-            emb_graph = sharded_build_kgraph(y, k_search, mesh,
-                                             distance="DistL2",
-                                             params=knn_params)
-        else:
-            emb_graph = build_kgraph(y, k_search, distance="DistL2",
-                                     params=knn_params)
-        radius = emb_graph.dists[:, radius_k - 1]                # (n,)
-        radius_compat = (emb_graph.dists[:, radius_k_compat - 1]
-                         if radius_k_compat else None)
-        # drop the graph reference right away: its (n, nbng) indices +
-        # dists are ~4.4 GB at 11M x 50 and only the radius column is
-        # needed — holding them through the quantile sort below is what
-        # pushed the full-fraction path over the 11M HBM budget
-        del emb_graph
+            radius, radius_compat = _ivf_radius(
+                y, g, k_search, radius_k, radius_k_compat, knn_params,
+                mesh)
 
     safe_r = jnp.maximum(radius, 1e-30)[:, None]
     matched = lengths <= radius[:, None]                    # (m, k)

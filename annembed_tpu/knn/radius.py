@@ -232,22 +232,31 @@ def _grid_query_dists(ys_pad, q, s, j, starts, counts, bounds,
 
 def grid_radius_search(y, q_ids, k: int, w_own: int = 5, w_adj: int = 7,
                        query_block: int = 4096,
-                       min_occupancy: int = 0):
+                       min_occupancy: int = 0,
+                       keep_cols=None):
     """Exact k smallest L2 distances (self included) from the corpus
     points ``q_ids`` to the full 2-d corpus ``y``.
 
     Equivalent to ``knn_search_brute(y[q_ids], y, k)[1]`` — certified
     rows are bit-identical, uncertified rows (logged) are computed by
     that very search.  Returns (dists (m, k) f32 ascending,
-    n_fallback)."""
+    n_fallback).
+
+    ``keep_cols`` (tuple of column indices) returns only those columns
+    of the sorted distance row — the full-fraction quality path needs
+    just the radius_k / radius_k_compat columns, and (n, k+1) would be
+    ~11 GB at 11M x 251."""
     y = jnp.asarray(y, jnp.float32)
     n, d = y.shape
     if d != 2:
         raise ValueError(f"grid_radius_search needs d == 2 (got {d})")
+    cols = None if keep_cols is None else jnp.asarray(keep_cols)
     occ = max(min_occupancy, 3 * k, 128)
     g = max(2, int(math.sqrt(n / occ)))
     if g < 4 or n < 4 * occ:
         _, sd = knn_search_brute(y[jnp.asarray(q_ids)], y, k=k)
+        if cols is not None:
+            sd = sd[:, cols]
         return sd, len(np.asarray(q_ids))
 
     (ys, cells, starts, counts, bounds, cummax_y, cummin_y,
@@ -285,6 +294,8 @@ def grid_radius_search(y, q_ids, k: int, w_own: int = 5, w_adj: int = 7,
         sd_b.block_until_ready()
         if pad:
             sd_b, ok_b = sd_b[:i1 - i0], ok_b[:i1 - i0]
+        if cols is not None:
+            sd_b = sd_b[:, cols]
         sd_parts.append(sd_b)
         ok_parts.append(ok_b)
     sd = jnp.concatenate(sd_parts) if len(sd_parts) > 1 else sd_parts[0]
@@ -297,6 +308,8 @@ def grid_radius_search(y, q_ids, k: int, w_own: int = 5, w_adj: int = 7,
         logger.info("grid radius search: %d/%d queries uncertified, "
                     "exact brute fallback", n_fallback, m)
         _, sd_bad = knn_search_brute(y[q_ids[bad]], y, k=k)
+        if cols is not None:
+            sd_bad = sd_bad[:, cols]
         sd = sd.at[jnp.asarray(bad)].set(sd_bad)
     else:
         logger.info("grid radius search: all %d queries certified "

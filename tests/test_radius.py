@@ -107,3 +107,31 @@ def test_quality_sampled_grid_parity(rng, monkeypatch):
     monkeypatch.setenv("ANNEMBED_QUALITY_EXACT_BRUTE", "1")
     est_brute = quality_estimate(g, y, **kwargs)
     assert est_grid.summary() == est_brute.summary()
+
+
+def test_quality_full_fraction_grid_exact(rng, monkeypatch):
+    """Full-fraction quality on a >50k 2-d cloud uses the certified
+    grid radius — verify its radius columns against the exact brute
+    search on a row subsample, and that the summary changes only
+    through radius exactness vs the IVF path."""
+    from annembed_tpu.estimators.quality import quality_estimate
+    from annembed_tpu.graph.kgraph import KGraph
+
+    n, k = 55_000, 6
+    y = (rng.normal(0, 2, (n, 2))
+         + rng.choice([0.0, 5.0], (n, 1))).astype(np.float32)
+    idx = rng.integers(0, n, (n, k)).astype(np.int32)
+    dists = rng.uniform(0.1, 1.0, (n, k)).astype(np.float32)
+    g = KGraph(indices=jnp.asarray(idx), dists=jnp.asarray(dists))
+
+    est = quality_estimate(g, y, nbng=10, radius_k=10,
+                           radius_k_compat=25)
+    assert est.nb_sampled == n
+    # spot-check the exact radius on 80 random rows
+    sub = rng.choice(n, 80, replace=False).astype(np.int32)
+    from annembed_tpu.knn.radius import grid_radius_search
+    sd_cols, _ = grid_radius_search(y, sub, 26, keep_cols=(10, 25))
+    _, sd_brute = knn_search_brute(jnp.asarray(y)[jnp.asarray(sub)],
+                                   y, k=26)
+    np.testing.assert_array_equal(np.asarray(sd_cols),
+                                  np.asarray(sd_brute)[:, (10, 25)])
