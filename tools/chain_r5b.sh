@@ -1,0 +1,123 @@
+#!/bin/bash
+# Round-5 chip-job chain, rev B.  Fixes rev A's fatal misclassification:
+# TPU worker crashes / tunnel readback failures surface as rc=1 with an
+# UNAVAILABLE / INTERNAL JaxRuntimeError, and rev A marked those steps
+# permanently done as "code bugs" (observed 2026-08-20: dmap66 worker
+# crash at readback, qradius worker crash mid-brute, ablate11m HTTP 413
+# — all transient or since-fixed).  Rev B greps the ATTEMPT log for
+# transient signatures and retries those; only a clean non-transient
+# failure (real traceback) marks a step done-with-error.
+#
+# ONE TPU process at a time: holds /tmp/tpu_lock; WAIT_PID (optional)
+# delays the start until an already-running TPU process exits.
+set -u
+cd /root/repo
+LOCK=/tmp/tpu_lock
+LOG=/tmp/chain_r5.log
+touch "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+export ANNEMBED_CHANNEL_DEADLINE_S=${ANNEMBED_CHANNEL_DEADLINE_S:-300}
+
+note() { echo "[chainB] $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
+
+if [ -n "${WAIT_PID:-}" ]; then
+  note "waiting for running TPU pid $WAIT_PID to exit"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
+  note "pid $WAIT_PID gone, starting"
+fi
+
+wait_channel() {
+  while true; do
+    local t0=$(date +%s)
+    timeout 240 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128)); y = (x @ x).block_until_ready()
+print(float(y[0, 0]))" >/dev/null 2>&1
+    local rc=$?
+    note "channel probe rc=$rc ($(($(date +%s)-t0))s)"
+    [ $rc -eq 0 ] && return 0
+    sleep 120
+  done
+}
+
+transient() {  # attempt log -> 0 if failure looks infrastructural
+  grep -qE "UNAVAILABLE|worker process crashed|response body closed|read body|remote_compile|DEADLINE_EXCEEDED|RESOURCE_EXHAUSTED|Connection reset|Socket closed|length limit exceeded|channel preflight DEADLINE" "$1"
+}
+
+run_step() {  # name attempts timeout_s artifact cmd...
+  local name=$1 tries=$2 tmo=$3 art=$4; shift 4
+  local done_mark=/tmp/step_${name}.done
+  [ -f "$done_mark" ] && { note "step $name already done, skip"; return 0; }
+  local log=/tmp/step_${name}.log alog=/tmp/step_${name}.attempt
+  for i in $(seq 1 "$tries"); do
+    note "step $name attempt $i/$tries: $*"
+    : > "$alog"
+    timeout "$tmo" "$@" >> "$alog" 2>&1
+    local rc=$?
+    cat "$alog" >> "$log"
+    note "step $name rc=$rc"
+    if [ $rc -eq 0 ]; then
+      if [ -n "$art" ]; then
+        grep -h '^{' "$alog" > "artifacts/$art" 2>/dev/null || true
+      fi
+      touch "$done_mark"
+      return 0
+    fi
+    if [ $rc -eq 17 ] || [ $rc -eq 124 ] || transient "$alog"; then
+      note "step $name transient failure (rc=$rc), will retry"
+      sleep 45
+      continue
+    fi
+    note "step $name NON-TRANSIENT failure rc=$rc (see $log)"
+    touch "$done_mark"     # real code bug: don't loop
+    return $rc
+  done
+  note "step $name exhausted $tries attempts this pass"
+  return 1
+}
+
+pass_once() {
+  # 1. Higgs diffusion-maps 60% baseline row (VERDICT item 3).
+  run_step dmap66 4 2400 higgs_dmap_r5.json \
+    python examples/higgs.py --synthetic 6600000 --dmap --json \
+      --data-cache /tmp/higgs66.npy --out none --recall-sample 0
+
+  # 2. Quality radius A/B (VERDICT item 6).
+  run_step qradius 3 3600 quality_radius_ab_r5.json \
+    python tools/with_preflight.py tools/quality_radius_ab.py
+
+  # 3. Sweep ablation at the 11M shape (VERDICT item 1) — rev: big
+  #    arrays now explicit jit args (413 fix).
+  run_step ablate11m 3 2400 sweep_ablation_r5.json \
+    python tools/with_preflight.py tools/sweep_ablation.py
+
+  # 4. Bench confirm (cold + steady, persistent compilation cache).
+  run_step bench 2 2400 "" python bench.py
+
+  # 5. Same-data oracle at 1.65M (VERDICT item 2).
+  run_step oracle165 3 7200 higgs165_sampling_r5.json \
+    python examples/higgs.py --synthetic 1650000 --optimizer sampling \
+      --quality --json --out none --data-cache /tmp/h165.npy \
+      --graph-cache /tmp/g165.npz --embed-cache /tmp/e165s.npy
+
+  # 6. 11M e2e with exclusion-off lever + fast quality (VERDICT item 1).
+  run_step higgs11m 3 7200 higgs11m_r5.json \
+    python examples/higgs.py --synthetic 11000000 --quality \
+      --no-exclusion --json --out none --data-cache /tmp/h11m.npy \
+      --graph-cache /tmp/g11m.npz --embed-cache /tmp/e11m.npy
+}
+
+all_done() {
+  for s in dmap66 qradius ablate11m bench oracle165 higgs11m; do
+    [ -f /tmp/step_${s}.done ] || return 1
+  done
+  return 0
+}
+
+note "chainB start"
+while ! all_done; do
+  wait_channel
+  pass_once
+  all_done || { note "pass incomplete, waiting for channel"; sleep 120; }
+done
+note "chainB done — all steps complete"

@@ -84,13 +84,20 @@ def main():
     gamma = jnp.float32(1.0)
 
     # --- attraction alone (one column group) ---
-    att = jax.jit(lambda y: D._attraction_sweep_sfT(
-        y, idxT, wT, mT, w_revT, m_revT, scale_iT, scale_jT, gamma, 1.0))
-    emit({"op": "attraction_sfT_1group", "wall_s": timed(att, yT)})
+    # NB: every big array is an EXPLICIT jit argument — a closed-over
+    # device array is serialized into the compile request body, and at
+    # 11M shapes that overflows the tunnel's remote_compile size limit
+    # (HTTP 413 observed on-chip 2026-08-20).
+    att = jax.jit(lambda y, ix, w, m, wr, mr, si, sj:
+                  D._attraction_sweep_sfT(y, ix, w, m, wr, mr, si, sj,
+                                          gamma, 1.0))
+    emit({"op": "attraction_sfT_1group",
+          "wall_s": timed(att, yT, idxT, wT, mT, w_revT, m_revT,
+                          scale_iT, scale_jT)})
 
     # attraction minus the gather: neighbour block replaced by a roll
     # (same math, contiguous read) — isolates the gather's share
-    def att_nogather(y):
+    def att_nogather(y, wT, w_revT, mT, m_revT, scale_iT, scale_jT):
         yj = jnp.stack([jnp.roll(y, -(i + 1) * 13, axis=1)
                         for i in range(kg)], axis=1)      # (d, kg, n)
         diff = yj - y[:, None, :]
@@ -107,26 +114,29 @@ def main():
         return jnp.sum(diff * (c * (1.0 - f))[None], axis=1)
 
     emit({"op": "attraction_roll_nogather",
-          "wall_s": timed(jax.jit(att_nogather), yT)})
+          "wall_s": timed(jax.jit(att_nogather), yT, wT, w_revT, mT,
+                          m_revT, scale_iT, scale_jT)})
 
     # --- repulsion alone ---
     for pk in (False, True):
         for excl in (True, False):
             rep = jax.jit(functools.partial(
-                D._repulsion_sweep_rolledT, offset=jnp.int32(37),
-                idxT=idxT_full, emb_scaleT=scale_iT, gamma=gamma, b=1.0,
+                D._repulsion_sweep_rolledT, gamma=gamma, b=1.0,
                 n_neg=n_neg, neighbor_exclusion=excl,
                 parallel_kicks=pk))
             emit({"op": "repulsion_rolledT", "parallel_kicks": pk,
-                  "exclusion": excl, "wall_s": timed(rep, yT)})
+                  "exclusion": excl,
+                  "wall_s": timed(rep, yT, jnp.int32(37), idxT_full,
+                                  scale_iT)})
 
     # rejection mask alone
     pos = jnp.arange(n, dtype=jnp.int32)
     shifts = (jnp.int32(37) + (n // n_neg)
               * jnp.arange(n_neg, dtype=jnp.int32)) % n
-    rej = jax.jit(lambda: D._neighbor_rejection(pos, idxT_full, shifts,
-                                                n, n_neg))
-    emit({"op": "neighbor_rejection_mask", "wall_s": timed(rej)})
+    rej = jax.jit(functools.partial(D._neighbor_rejection,
+                                    n=n, n_neg=n_neg))
+    emit({"op": "neighbor_rejection_mask",
+          "wall_s": timed(rej, pos, idxT_full, shifts)})
 
     # --- full sweeps under scan: the shippable flag matrix ---
     y0 = yT.T
