@@ -91,6 +91,14 @@ def main():
     ap.add_argument("--csv", default=None, help="HIGGS.csv path")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic 28-dim rows instead")
+    ap.add_argument("--manifold", action="store_true",
+                    help="with --synthetic: use the intrinsic-dim-2 "
+                         "clustered manifold (io/synthetic.py) instead "
+                         "of the 8-d-latent blobs.  The 8-d latent "
+                         "CANNOT be conserved by a 2-d embedding "
+                         "(information-theoretic ceiling, PERF.md "
+                         "scale study); the manifold CAN — the "
+                         "conservable control at reference scale")
     ap.add_argument("--sampling", type=float, default=1.0)
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--nbng", type=int, default=6)
@@ -228,7 +236,13 @@ def main():
                 f"but --synthetic asked for {args.synthetic}: stale cache "
                 "from another run — delete it or change the path")
     else:
-        if args.synthetic:
+        if args.synthetic and args.manifold:
+            from annembed_tpu.io.synthetic import (
+                synthetic_clustered_manifold)
+            x = synthetic_clustered_manifold(
+                args.synthetic, d=28, seed=7,
+                n_clusters=32).astype(np.float32)
+        elif args.synthetic:
             x = synthetic_higgs(args.synthetic)
         else:
             from annembed_tpu.io.csv_io import get_toembed_from_csv
@@ -290,6 +304,7 @@ def main():
         recall = build_graph_recall(x, g, sample=args.recall_sample)
 
     rec = {"n": n, "wall_s": round(wall, 1),
+           **({"manifold": True} if args.manifold else {}),
            **{k: (round(v, 2) if isinstance(v, float) else v)
               for k, v in info.items()
               if isinstance(v, (int, float, dict))}}

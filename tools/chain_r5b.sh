@@ -100,6 +100,17 @@ pass_once() {
       --quality --json --out none --data-cache /tmp/h165.npy \
       --graph-cache /tmp/g165.npz --embed-cache /tmp/e165s.npy
 
+  # 5b. Conservable control at reference scale (VERDICT item 2, second
+  #     axis): 1.65M intrinsic-dim-2 clustered manifold, dense
+  #     optimizer + quality.  The 8-d-latent synthetic CANNOT be
+  #     conserved by any 2-d embedding; this one can — if the dense
+  #     optimizer posts reference-grade conservation here, the 1.65M
+  #     gap is pinned as a data ceiling, not dynamics.
+  run_step manifold165 3 7200 higgs165_manifold_r5.json \
+    python examples/higgs.py --synthetic 1650000 --manifold \
+      --quality --json --out none --data-cache /tmp/h165m.npy \
+      --graph-cache /tmp/g165m.npz --embed-cache /tmp/e165m.npy
+
   # 6. 11M e2e with exclusion-off lever + fast quality (VERDICT item 1).
   run_step higgs11m 3 7200 higgs11m_r5.json \
     python examples/higgs.py --synthetic 11000000 --quality \
@@ -108,7 +119,7 @@ pass_once() {
 }
 
 all_done() {
-  for s in dmap66 qradius ablate11m bench oracle165 higgs11m; do
+  for s in dmap66 qradius ablate11m bench oracle165 manifold165 higgs11m; do
     [ -f /tmp/step_${s}.done ] || return 1
   done
   return 0
