@@ -232,8 +232,9 @@ def coo_matmat(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("n", "rank", "n_iter",
                                               "n_oversample"))
-def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
-                       n_iter: int = 5, n_oversample: int = 10) -> SvdResult:
+def _randomized_svd_coo_fused(rows, cols, vals, key, n: int, rank: int,
+                              n_iter: int = 5,
+                              n_oversample: int = 10) -> SvdResult:
     """Fully-jitted randomized SVD of a symmetric COO operator — one
     XLA program for the whole range iteration + projection (keeps
     dispatch/compile count low on remote-compile backends)."""
@@ -241,6 +242,64 @@ def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
     return randomized_svd_op(mm, mm, (n, n), rank, n_iter=n_iter,
                              n_oversample=n_oversample, key=key,
                              dtype=vals.dtype)
+
+
+#: Above this nnz the fused single-program SVD is split into one
+#: program per stage.  The axon runtime faults the TPU worker when ONE
+#: program's continuous execution runs too long (same failure mode as
+#: the round-4 quality fault, COVERAGE.md): the 6.6M-node / 112M-nnz
+#: diffusion-maps Laplacian crashed the worker twice on 2026-08-20
+#: inside the fused program (n_iter=5 -> 11 slabbed SpMMs + 12 QRs in
+#: one execution).  Stage-per-program keeps every execution to ~one
+#: SpMM + one QR; at these sizes dispatch overhead is noise.
+_FUSED_SVD_NNZ_LIMIT = int(os.environ.get("ANNEMBED_FUSED_SVD_NNZ",
+                                          48_000_000))
+
+_spmm_jit = jax.jit(spmm_scatter, static_argnames=("n_rows",))
+_qr_q_jit = jax.jit(_qr_q)
+
+
+@functools.partial(jax.jit, static_argnames=("rank",))
+def _project_svd(q, b, rank: int):
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    r = min(rank, q.shape[1])
+    return SvdResult(u=(q @ ub)[:, :r], s=s[:r], vt=vt[:r])
+
+
+def _randomized_svd_coo_eager(rows, cols, vals, key, n: int, rank: int,
+                              n_iter: int = 5,
+                              n_oversample: int = 10) -> SvdResult:
+    """Stage-per-program randomized SVD of a symmetric COO operator.
+
+    Same stages, same QR and same PRNG draw as the fused form (range
+    finder = ``subspace_range``, projection = ``randomized_svd_op``
+    tail), but each SpMM / QR / final projection is its own XLA
+    program, so no single device execution exceeds the remote
+    runtime's continuous-execution budget (see _FUSED_SVD_NNZ_LIMIT).
+    Results agree with the fused form to f32 fusion-reassociation
+    tolerance (pinned by tests/test_rsvd.py)."""
+    dtype = vals.dtype
+    l = min(rank + n_oversample, n)
+    omega = jax.random.normal(key, (n, l), dtype)
+    q = _qr_q_jit(_spmm_jit(rows, cols, vals, omega, n_rows=n))
+    for _ in range(n_iter):
+        qz = _qr_q_jit(_spmm_jit(rows, cols, vals, q, n_rows=n))
+        q = _qr_q_jit(_spmm_jit(rows, cols, vals, qz, n_rows=n))
+    b = _spmm_jit(rows, cols, vals, q, n_rows=n).T       # (l, n)
+    return _project_svd(q, b, rank)
+
+
+def randomized_svd_coo(rows, cols, vals, key, n: int, rank: int,
+                       n_iter: int = 5, n_oversample: int = 10) -> SvdResult:
+    """Randomized SVD of a symmetric COO operator: fused single
+    program below _FUSED_SVD_NNZ_LIMIT nnz, stage-per-program above."""
+    if int(rows.shape[0]) > _FUSED_SVD_NNZ_LIMIT:
+        return _randomized_svd_coo_eager(rows, cols, vals, key, n=n,
+                                         rank=rank, n_iter=n_iter,
+                                         n_oversample=n_oversample)
+    return _randomized_svd_coo_fused(rows, cols, vals, key, n=n,
+                                     rank=rank, n_iter=n_iter,
+                                     n_oversample=n_oversample)
 
 
 def adaptive_range_finder(matmat: Callable, shape: tuple[int, int],

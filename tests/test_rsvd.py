@@ -220,3 +220,51 @@ def test_randomized_svd_wiki_f64():
         assert full.s.dtype == jnp.float64
         np.testing.assert_allclose(np.asarray(full.s),
                                    WIKI_SIGMA.astype(np.float64), atol=1e-12)
+
+
+def test_eager_svd_matches_fused(rng):
+    """Stage-per-program COO SVD (the large-nnz dispatch that keeps the
+    axon runtime's per-execution budget) must match the fused
+    single-program form: same stages, same PRNG, same QR."""
+    import annembed_tpu.linalg.rsvd as rsvd_mod
+
+    n, k = 500, 6
+    rows = np.repeat(np.arange(n), k).astype(np.int32)
+    cols = rng.integers(0, n, n * k).astype(np.int32)
+    vals = rng.uniform(0.1, 1.0, n * k).astype(np.float32)
+    # symmetrize so the operator matches the Laplacian's structure
+    rows_s = np.concatenate([rows, cols]).astype(np.int32)
+    cols_s = np.concatenate([cols, rows]).astype(np.int32)
+    vals_s = np.concatenate([vals, vals]).astype(np.float32)
+    key = jax.random.PRNGKey(4664397)
+    args = (jnp.asarray(rows_s), jnp.asarray(cols_s), jnp.asarray(vals_s),
+            key)
+    fused = rsvd_mod._randomized_svd_coo_fused(*args, n=n, rank=8,
+                                               n_iter=3, n_oversample=4)
+    eager = rsvd_mod._randomized_svd_coo_eager(*args, n=n, rank=8,
+                                               n_iter=3, n_oversample=4)
+    np.testing.assert_allclose(np.asarray(eager.s), np.asarray(fused.s),
+                               rtol=3e-5)
+    # singular vectors up to sign
+    fu, eu = np.asarray(fused.u), np.asarray(eager.u)
+    sign = np.sign(np.sum(fu * eu, axis=0))
+    np.testing.assert_allclose(eu * sign, fu, atol=3e-4)
+
+
+def test_randomized_svd_coo_dispatch(rng, monkeypatch):
+    """The public entry dispatches to the eager path above the nnz
+    limit and returns the same result."""
+    import annembed_tpu.linalg.rsvd as rsvd_mod
+    from annembed_tpu.linalg.rsvd import randomized_svd_coo
+
+    n, k = 300, 5
+    rows = np.repeat(np.arange(n), k).astype(np.int32)
+    cols = rng.integers(0, n, n * k).astype(np.int32)
+    vals = rng.uniform(0.1, 1.0, n * k).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    args = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), key)
+    big = randomized_svd_coo(*args, n=n, rank=6, n_iter=2)
+    monkeypatch.setattr(rsvd_mod, "_FUSED_SVD_NNZ_LIMIT", 10)
+    small = randomized_svd_coo(*args, n=n, rank=6, n_iter=2)
+    np.testing.assert_allclose(np.asarray(small.s), np.asarray(big.s),
+                               rtol=3e-5)
