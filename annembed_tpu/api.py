@@ -298,17 +298,21 @@ def dmap_embed(csv: ArrayLike, outfile: Optional[str] = None, dim: int = 2,
                hierarchy_fraction: float = 0.05,
                knn_params: Optional[KnnParams] = None,
                quality_sampling: float = 1.0, delim: str = ",",
-               seed: int = 0, n_devices: int = 0, mesh=None):
+               seed: int = 0, n_devices: int = 0, mesh=None,
+               svd_n_iter: int = 5):
     """Diffusion-maps-only embedding (reference python.rs:201,
     bin/dmapembed.rs:390-432).  With layer > 0 only the subsample graph
     is embedded (dmapembed.rs:415-422).  ``n_devices``/``mesh`` run the
-    graph build and the spectral SVD sharded (see ``embed``)."""
+    graph build and the spectral SVD sharded (see ``embed``).
+    ``svd_n_iter`` = subspace iterations of the spectral SVD (the
+    reference's 5, graphlaplace.rs:115; a wall/convergence knob at
+    multi-M scale — the 6.6M spectral phase is ~40 s/iteration)."""
     if mesh is None and n_devices > 1:
         from .parallel.sharded import make_mesh
         mesh = make_mesh(n_devices)
     x = _load(csv, delim, quality_sampling)
     dp = DiffusionParams(asked_dim=dim, alfa=alfa, beta=beta, t=time_param,
-                         gnbn=nbng)
+                         gnbn=nbng, svd_n_iter=svd_n_iter)
     if knn_params is None:
         knn_params = KnnParams(knbn=nbng, distance=distance)
     if (x.shape[0] >= 500_000

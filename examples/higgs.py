@@ -113,6 +113,9 @@ def main():
                     help="npy path: save/load the prepared (z-scored) "
                          "matrix so retries skip the ~min-scale "
                          "synthetic generation at 11M")
+    ap.add_argument("--svd-n-iter", type=int, default=5,
+                    help="dmap spectral subspace iterations (reference "
+                         "5, graphlaplace.rs:115; ~40 s/iter at 6.6M)")
     ap.add_argument("--dmap", action="store_true",
                     help="diffusion-maps variant (dim=5, alfa=1, beta=0, "
                          "gnbn=8; higgs.rs:488-502)")
@@ -267,7 +270,8 @@ def main():
                        refine_rounds=args.refine_rounds,
                        nndescent_rho=args.rho)
         y, info = at.dmap_embed(x, dim=5, alfa=1.0, beta=0.0, nbng=8,
-                                knn_params=kp)
+                                knn_params=kp,
+                                svd_n_iter=args.svd_n_iter)
         g = None
     else:
         # bf16 IVF join panels: identical recall (exact L2 rerank in the
