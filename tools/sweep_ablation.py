@@ -117,6 +117,26 @@ def main():
           "wall_s": timed(jax.jit(att_nogather), yT, wT, w_revT, mT,
                           m_revT, scale_iT, scale_jT)})
 
+    # --- the gather itself, pair vs packed-complex64 (bit-exact) ---
+    # round-5 ablation: the (d, kg, n) neighbour gather is ~65% of the
+    # 11M sweep (0.185 of 0.285 s); packing d=2 into one c64 lane
+    # halves the gathered element count (dense_packed_gather knob,
+    # off-until-measured) — these rows decide it.
+    gather_pair = jax.jit(lambda y, ix: y[:, ix])
+    emit({"op": "gather_pair_f32",
+          "wall_s": timed(gather_pair, yT, idxT)})
+    yz = jax.jit(lambda y: jax.lax.complex(y[0], y[1]))(yT)  # (n,) c64
+    gather_packed = jax.jit(lambda z, ix: z[ix])
+    emit({"op": "gather_packed_c64",
+          "wall_s": timed(gather_packed, yz, idxT)})
+    att_packed = jax.jit(lambda y, z, ix, w, m, wr, mr, si, sj:
+                         D._attraction_sweep_sfT(y, ix, w, m, wr, mr,
+                                                 si, sj, gamma, 1.0,
+                                                 yzT=z))
+    emit({"op": "attraction_sfT_packed",
+          "wall_s": timed(att_packed, yT, yz, idxT, wT, mT, w_revT,
+                          m_revT, scale_iT, scale_jT)})
+
     # --- repulsion alone ---
     for pk in (False, True):
         for excl in (True, False):
@@ -146,6 +166,7 @@ def main():
         ("exclusion_off", {"neighbor_exclusion": False}),
         ("parallel_kicks", {"parallel_kicks": True}),
         ("both", {"neighbor_exclusion": False, "parallel_kicks": True}),
+        ("packed_gather", {"packed_gather": True}),
     ):
         def run(y0=y0, kw=kw):
             return D._dense_segment(
