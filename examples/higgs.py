@@ -182,6 +182,11 @@ def main():
                     help="stacked repulsion kicks (dense_parallel_kicks)"
                          ": one (n_neg, d, n) program instead of n_neg "
                          "dependent chains; quality-neutral on CPU A/B")
+    ap.add_argument("--packed-gather", action="store_true",
+                    help="pack the (2, n) coordinates into complex64 "
+                         "for the neighbour gather (bit-exact; halves "
+                         "gathered element count — the gather is 65% "
+                         "of the 11M sweep, PERF.md round-5 ablation)")
     ap.add_argument("--json", action="store_true",
                     help="emit one machine-readable result line")
     ap.add_argument("--out", default="higgs_embedded.csv")
@@ -297,6 +302,7 @@ def main():
                                   dense_neighbor_exclusion=(
                                       not args.no_exclusion),
                                   dense_parallel_kicks=args.parallel_kicks,
+                                  dense_packed_gather=args.packed_gather,
                                   n_sub_schedule=parse_schedule(
                                       args.schedule, args.batch,
                                       args.n_sub)))
