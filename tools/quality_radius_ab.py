@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--m", type=int, default=200_000)
     ap.add_argument("--k", type=int, default=251,
                     help="k_search (radius_k_compat + 1)")
+    ap.add_argument("--brute-m", type=int, default=50_000,
+                    help="queries for the brute identity check (a "
+                         "subset of --m; the full-m brute is the long "
+                         "program that faulted a worker on 2026-08-20)")
     args = ap.parse_args()
 
     import jax
@@ -69,18 +73,22 @@ def main():
               "fallback_queries": n_fb})
         if do_brute:
             import jax.numpy as jnp
+            m2 = min(args.brute_m, len(q_ids))
             yj = jnp.asarray(y)
             t0 = time.perf_counter()
-            _, sd_b = knn_search_brute(yj[jnp.asarray(q_ids)], yj,
+            _, sd_b = knn_search_brute(yj[jnp.asarray(q_ids[:m2])], yj,
                                        k=args.k)
             jax.block_until_ready(sd_b)
             w_brute = time.perf_counter() - t0
-            eq = bool(np.array_equal(np.asarray(sd_g), np.asarray(sd_b)))
+            sg = np.asarray(sd_g)[:m2]
+            eq = bool(np.array_equal(sg, np.asarray(sd_b)))
             emit({"n": n, "path": "brute", "wall_s": round(w_brute, 2),
-                  "identical_to_grid": eq,
-                  "speedup": round(w_brute / max(w_grid, 1e-9), 1)})
+                  "brute_m": m2, "identical_to_grid": eq,
+                  "speedup_per_query": round(
+                      (w_brute / m2) / max(w_grid / len(q_ids), 1e-12),
+                      1)})
             if not eq:
-                diff = np.abs(np.asarray(sd_g) - np.asarray(sd_b))
+                diff = np.abs(sg - np.asarray(sd_b))
                 emit({"n": n, "mismatch_max": float(diff.max()),
                       "mismatch_rows": int((diff.max(1) > 0).sum())})
 
