@@ -111,8 +111,6 @@ def _grid_query_dists(ys_pad, q, s, j, starts, counts, bounds,
     cap_own = w_own * cap_cell
     cap_adj = w_adj * cap_cell
 
-    cell0 = s * g
-
     def span(s_arr, jlo, jhi, valid):
         """Sorted-position span [start, end) of cells jlo..jhi of
         strip s_arr; empty when ``valid`` is False."""
