@@ -272,7 +272,8 @@ def _repulsion_sweep_rolled(y, offset, indices, emb_scale, gamma,
 def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
                           scale_iT, scale_jT, gamma, b: float,
                           f_min: float = 1e-3, mask=None,
-                          mask_p: float = 1.0, y_ownT=None, yzT=None):
+                          mask_p: float = 1.0, y_ownT=None, yzT=None,
+                          yjT=None):
     """Transposed (feature-minor) scatter-free attraction.
 
     Same math as ``_attraction_sweep_scatter_free`` but every array is
@@ -294,9 +295,19 @@ def _attraction_sweep_sfT(yT, idxT, wT, mT, w_revT, m_revT,
     exactly, so the packed gather is bit-identical to the pair gather
     — it exists purely to halve the gathered element count if the
     hardware gather is per-element-bound (microbench `gather_packing`
-    decides; PERF.md gather-floor study)."""
+    decides; PERF.md gather-floor study).
+
+    ``yjT`` (d, kg, n): optional PRE-GATHERED neighbour coordinates.
+    When given, the per-sweep gather is skipped entirely — the caller
+    amortizes one gather over several sweeps (the stale-gather lever,
+    see _dense_segment gather_reuse).  The neighbour positions are
+    then up to gather_reuse-1 sweeps stale, which is within the
+    staleness envelope the reference's Hogwild threads already tolerate
+    (embedder.rs: unsynchronised reads across a full batch)."""
     y_own = yT if y_ownT is None else y_ownT
-    if yzT is not None:
+    if yjT is not None:
+        yj = yjT
+    elif yzT is not None:
         z = yzT[idxT]                                  # (kg, n) c64
         yj = jnp.stack([jnp.real(z), jnp.imag(z)])     # (2, kg, n)
     else:
@@ -507,7 +518,8 @@ def reverse_edge_weights(indices, w):
                                              "use_rot0", "n_blocks",
                                              "packed_gather",
                                              "neighbor_exclusion",
-                                             "parallel_kicks"))
+                                             "parallel_kicks",
+                                             "gather_reuse"))
 def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    emb_scale, key, neg_weight,
                    grad_step_init: float, b: float, n_sub: int,
@@ -518,7 +530,8 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    rot0=0, use_rot0: bool = False, n_blocks: int = 1,
                    packed_gather: bool = False,
                    neighbor_exclusion: bool = True,
-                   parallel_kicks: bool = False):
+                   parallel_kicks: bool = False,
+                   gather_reuse: int = 1):
     """Full optimization: nb_grad_batch x n_sub synchronous sub-sweeps
     with the reference's linear step decay.
 
@@ -662,6 +675,88 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                 w_revT=w_rev[:, sl].T, m_revT=m_rev_visit[:, sl].T,
                 scale_jT=emb_scale[idx_g].T))
 
+        if gather_reuse > 1:
+            # STALE-GATHER path (the measured 11M lever, PERF.md
+            # round-5 sweep decomposition: the (d, kg, n) neighbour
+            # gather is 65% of the sweep and runs at ~305M elem/s,
+            # per-element-bound).  One gather feeds ``gather_reuse``
+            # consecutive sweeps of the SAME column group: the
+            # attraction then reads neighbour positions up to
+            # gather_reuse-1 sweeps stale while the self position, the
+            # repulsion pool and the step schedule stay exactly fresh.
+            # The reference's Hogwild threads already read positions a
+            # full unsynchronised batch stale (embedder.rs:873-918), so
+            # this staleness is in-family; conservation impact is
+            # A/B-measured per operating point before use.  Per-step
+            # key consumption mirrors body_t exactly, so repulsion-only
+            # dynamics (w == 0) are bit-identical to gather_reuse=1.
+            S = gather_reuse
+
+            def _stale_steps(yT, step_blk, kks, c, s_count):
+                gd = groupsT[c]
+                yj = yT[:, gd["idxT"]]             # ONE gather / block
+                for s in range(s_count):
+                    kk = kks[s]
+                    step_idx = step_blk + s
+                    gamma = gamma_of(step_idx)
+                    if mask_p < 1.0:
+                        kk, k_mask = jax.random.split(kk)
+                        mask = jax.random.bernoulli(
+                            k_mask, mask_p, (kg, n)).astype(jnp.float32)
+                    else:
+                        mask = None
+                    yT = yT + _attraction_sweep_sfT(
+                        yT, gd["idxT"], gd["wT"], gd["mT"],
+                        gd["w_revT"], gd["m_revT"], scale_iT,
+                        gd["scale_jT"], gamma, b, f_min=f_min,
+                        mask=mask, mask_p=mask_p, yjT=yj)
+                    offset = jax.random.randint(kk, (), 0, n)
+                    yT = yT + _repulsion_sweep_rolledT(
+                        yT, offset, idxT_full, scale_iT, gamma, b,
+                        n_neg, neg_weight=neg_weight,
+                        neighbor_exclusion=neighbor_exclusion,
+                        parallel_kicks=parallel_kicks)
+                return yT
+
+            def _make_blk(c, s_count):
+                return lambda yT, step_blk, kks: _stale_steps(
+                    yT, step_blk, kks, c, s_count)
+
+            n_full, rem = seg_steps // S, seg_steps % S
+            keys_full = keys[:n_full * S].reshape(
+                (n_full, S) + keys.shape[1:])
+            branches_full = [_make_blk(c, S) for c in range(n_groups)]
+
+            def rot_blk(sweep_ctr):
+                # same column group for the whole block; blocks
+                # round-robin.  sweep_ctr // S keeps rotation coherent
+                # across segments (segment sizes are S-aligned except
+                # the final remainder).
+                return (sweep_ctr // S) % n_groups
+
+            def body_stale(yT, args):
+                blk_idx, kks = args
+                step_blk = step0 + blk_idx * S
+                ctr = rot0 + blk_idx * S if use_rot0 else step_blk
+                yT = jax.lax.switch(rot_blk(ctr), branches_full, yT,
+                                    step_blk, kks)
+                return yT, None
+
+            yT = y0.astype(jnp.float32).T
+            if n_full > 0:
+                yT, _ = jax.lax.scan(
+                    body_stale, yT,
+                    (jnp.arange(n_full, dtype=jnp.int32), keys_full))
+            if rem > 0:
+                step_blk = jnp.int32(step0 + n_full * S)
+                ctr = (rot0 + n_full * S if use_rot0
+                       else step_blk)
+                branches_rem = [_make_blk(c, rem)
+                                for c in range(n_groups)]
+                yT = jax.lax.switch(rot_blk(ctr), branches_rem, yT,
+                                    step_blk, keys[n_full * S:])
+            return yT.T
+
         def make_branch_t(c):
             gd = groupsT[c]
 
@@ -782,7 +877,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    batch1: int | None = None, rot_base: int | None = None,
                    n_blocks: int = 1, packed_gather: bool = False,
                    neighbor_exclusion: bool = True,
-                   parallel_kicks: bool = False):
+                   parallel_kicks: bool = False,
+                   gather_reuse: int = 1):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -798,10 +894,19 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
     total_steps = eff_batches * n_sub
     if total_steps == 0:
         return y0
+    gather_reuse = max(int(gather_reuse), 1)
+    if gather_reuse > 1 and (not scatter_free or n_blocks > 1):
+        raise ValueError("gather_reuse > 1 requires the transposed "
+                         "scatter-free path with n_blocks=1")
     # per-sweep cost scales with the block size, so the per-program
     # sweep cap scales with n_blocks (same device seconds per program)
     seg = min(total_steps,
               _segment_cap(max(y0.shape[0] // n_blocks, 1), n_groups))
+    if gather_reuse > 1 and seg > gather_reuse:
+        # S-align segment sizes so every stale block except the run's
+        # final remainder is a full S sweeps (keeps the block rotation
+        # counter coherent across segments)
+        seg -= seg % gather_reuse
     n_segs = -(-total_steps // seg)
     y = y0
     keys = jax.random.split(key, n_segs)
@@ -825,7 +930,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                            n_blocks=n_blocks,
                            packed_gather=packed_gather,
                            neighbor_exclusion=neighbor_exclusion,
-                           parallel_kicks=parallel_kicks)
+                           parallel_kicks=parallel_kicks,
+                           gather_reuse=gather_reuse)
     return y
 
 
@@ -973,7 +1079,9 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                                  True)),
                              parallel_kicks=bool(getattr(
                                  params, "dense_parallel_kicks",
-                                 False)))
+                                 False)),
+                             gather_reuse=max(int(getattr(
+                                 params, "dense_gather_reuse", 1)), 1))
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed
@@ -992,4 +1100,6 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
         info["n_sub_schedule"] = schedule
     if getattr(params, "dense_parallel_kicks", False):
         info["parallel_kicks"] = 1
+    if int(getattr(params, "dense_gather_reuse", 1)) > 1:
+        info["gather_reuse"] = int(params.dense_gather_reuse)
     return y, info

@@ -149,6 +149,18 @@ class EmbedderParams:
     #: (coeff <= 2, pole >= 1/16), same rejection masks.  Off = exact
     #: reference sequencing.
     dense_parallel_kicks: bool = False
+    #: reuse one neighbour-coordinate gather for this many consecutive
+    #: sweeps of the same column group (transposed path, n_blocks=1).
+    #: The (d, kg, n) gather is per-element-bound at ~305M elem/s on
+    #: the chip and is 65% of the 11M sweep (PERF.md round-5 sweep
+    #: decomposition); reuse=S amortizes it S-fold while the self
+    #: position, repulsion pool, RNG stream and step schedule stay
+    #: exactly fresh.  Neighbour positions are then <= S-1 sweeps
+    #: stale — within the reference's Hogwild staleness envelope
+    #: (embedder.rs:873-918 reads positions a full unsynchronised
+    #: batch stale).  1 = exact synchronous sweeps (default);
+    #: conservation at S>1 is A/B-measured per operating point.
+    dense_gather_reuse: int = 1
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

@@ -182,6 +182,12 @@ def main():
                     help="stacked repulsion kicks (dense_parallel_kicks)"
                          ": one (n_neg, d, n) program instead of n_neg "
                          "dependent chains; quality-neutral on CPU A/B")
+    ap.add_argument("--gather-reuse", type=int, default=1,
+                    help="reuse one neighbour gather for S consecutive "
+                         "sweeps (dense_gather_reuse): amortizes the "
+                         "gather that is 65%% of the 11M sweep; "
+                         "neighbour positions <= S-1 sweeps stale "
+                         "(within the reference's Hogwild envelope)")
     ap.add_argument("--packed-gather", action="store_true",
                     help="pack the (2, n) coordinates into complex64 "
                          "for the neighbour gather (bit-exact; halves "
@@ -303,6 +309,7 @@ def main():
                                       not args.no_exclusion),
                                   dense_parallel_kicks=args.parallel_kicks,
                                   dense_packed_gather=args.packed_gather,
+                                  dense_gather_reuse=args.gather_reuse,
                                   n_sub_schedule=parse_schedule(
                                       args.schedule, args.batch,
                                       args.n_sub)))

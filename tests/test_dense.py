@@ -593,3 +593,74 @@ def test_parallel_kicks_end_to_end(rng):
                            dense_parallel_kicks=True)
     y_blk, _ = run_dense_optimization(y0, g, npar, p_blk, n_sub=8)
     assert np.isfinite(np.asarray(y_blk)).all()
+
+
+def test_gather_reuse_repulsion_only_bit_identical(rng, monkeypatch):
+    """With all edge probas zeroed the attraction sweep is a provable
+    no-op (alpha == 0 -> F == 1 -> net displacement 0), so the run
+    reduces to the repulsion stream — which the stale-gather path must
+    reproduce BIT-identically (same per-step key consumption, gamma
+    schedule and step indexing as the S=1 scan body).  Run with a tiny
+    per-program cap so the S-aligned segmentation + final remainder
+    block are exercised too."""
+    import dataclasses as _dc
+    import annembed_tpu.optim.dense as dense_mod
+    monkeypatch.setattr(dense_mod, "_MAX_SWEEPS_PER_PROGRAM", 7)
+    monkeypatch.setattr(dense_mod, "_SWEEP_REFERENCE_N", 1)
+    x = rng.normal(size=(260, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=6)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    npar0 = _dc.replace(npar, probas=jnp.zeros_like(npar.probas))
+    y0 = jnp.asarray(rng.uniform(-5, 5, (260, 2)).astype(np.float32))
+    for extra in ({}, {"n_sub_schedule": ((5, 12), (5, 24))}):
+        p1 = EmbedderParams(nb_grad_batch=10, optimizer="dense", **extra)
+        p4 = EmbedderParams(nb_grad_batch=10, optimizer="dense",
+                            dense_gather_reuse=4, **extra)
+        y_a, _ = run_dense_optimization(y0, g, npar0, p1, n_sub=12)
+        y_b, info = run_dense_optimization(y0, g, npar0, p4, n_sub=12)
+        np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b),
+                                      err_msg=str(extra))
+        assert info["gather_reuse"] == 4
+
+
+def test_gather_reuse_optimizes(rng):
+    """gather_reuse=3 (stale neighbour positions, <= 2 sweeps old) must
+    still optimize the 3-cluster fixture to a clean separation: finite
+    coordinates, CE strictly down, >90% nearest-centroid accuracy."""
+    centers = rng.normal(size=(3, 10)) * 10
+    x = np.concatenate([centers[i] + rng.normal(size=(100, 10))
+                        for i in range(3)]).astype(np.float32)
+    labels = np.repeat(np.arange(3), 100)
+    idx, dist = knn_graph_brute(x, k=8)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (300, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=10, optimizer="dense",
+                       dense_gather_reuse=3)
+    ce0 = float(ce_value_dense(y0, g, npar.probas, npar.scale, 1.0))
+    y, info = run_dense_optimization(y0, g, npar, p)
+    ce1 = float(ce_value_dense(y, g, npar.probas, npar.scale, 1.0))
+    assert np.isfinite(np.asarray(y)).all()
+    assert ce1 < ce0
+    assert info["gather_reuse"] == 3
+    mus = np.stack([np.asarray(y)[labels == i].mean(0) for i in range(3)])
+    d_to = np.linalg.norm(np.asarray(y)[:, None] - mus[None], axis=-1)
+    acc = (d_to.argmin(1) == labels).mean()
+    assert acc > 0.9, acc
+
+
+def test_gather_reuse_rejects_blocks(rng):
+    """gather_reuse amortizes the full-array gather; the node-block
+    path has its own (block-sized) gather economics — combining them
+    is an error, not a silent fallback."""
+    import pytest
+    x = rng.normal(size=(120, 6)).astype(np.float32)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (120, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=4, dense_n_blocks=2,
+                       dense_gather_reuse=2)
+    with pytest.raises(ValueError, match="gather_reuse"):
+        run_dense_optimization(y0, g, npar, p, n_sub=8)
