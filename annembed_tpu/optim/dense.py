@@ -692,55 +692,65 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
             # dynamics (w == 0) are bit-identical to gather_reuse=1.
             S = gather_reuse
 
-            def _stale_steps(yT, step_blk, kks, c, s_count):
-                gd = groupsT[c]
-                yj = yT[:, gd["idxT"]]             # ONE gather / block
-                for s in range(s_count):
-                    kk = kks[s]
-                    step_idx = step_blk + s
-                    gamma = gamma_of(step_idx)
-                    if mask_p < 1.0:
-                        kk, k_mask = jax.random.split(kk)
-                        mask = jax.random.bernoulli(
-                            k_mask, mask_p, (kg, n)).astype(jnp.float32)
-                    else:
-                        mask = None
-                    yT = yT + _attraction_sweep_sfT(
-                        yT, gd["idxT"], gd["wT"], gd["mT"],
-                        gd["w_revT"], gd["m_revT"], scale_iT,
-                        gd["scale_jT"], gamma, b, f_min=f_min,
-                        mask=mask, mask_p=mask_p, yjT=yj)
-                    offset = jax.random.randint(kk, (), 0, n)
-                    yT = yT + _repulsion_sweep_rolledT(
-                        yT, offset, idxT_full, scale_iT, gamma, b,
-                        n_neg, neg_weight=neg_weight,
-                        neighbor_exclusion=neighbor_exclusion,
-                        parallel_kicks=parallel_kicks)
-                return yT
+            def _one_stale_sweep(yT, kk, step_idx, rot, yj_by_group):
+                # one sweep against prefetched neighbour coordinates;
+                # key consumption mirrors body_t exactly
+                gamma = gamma_of(step_idx)
+                if mask_p < 1.0:
+                    kk, k_mask = jax.random.split(kk)
+                    mask = jax.random.bernoulli(
+                        k_mask, mask_p, (kg, n)).astype(jnp.float32)
+                else:
+                    mask = None
 
-            def _make_blk(c, s_count):
-                return lambda yT, step_blk, kks: _stale_steps(
-                    yT, step_blk, kks, c, s_count)
+                def mk(c):
+                    gd = groupsT[c]
+
+                    def branch(yT_):
+                        return yT_ + _attraction_sweep_sfT(
+                            yT_, gd["idxT"], gd["wT"], gd["mT"],
+                            gd["w_revT"], gd["m_revT"], scale_iT,
+                            gd["scale_jT"], gamma, b, f_min=f_min,
+                            mask=mask, mask_p=mask_p,
+                            yjT=yj_by_group[c])
+
+                    return branch
+
+                yT = jax.lax.switch(rot, [mk(c) for c in
+                                          range(n_groups)], yT)
+                offset = jax.random.randint(kk, (), 0, n)
+                return yT + _repulsion_sweep_rolledT(
+                    yT, offset, idxT_full, scale_iT, gamma, b,
+                    n_neg, neg_weight=neg_weight,
+                    neighbor_exclusion=neighbor_exclusion,
+                    parallel_kicks=parallel_kicks)
+
+            def _stale_block(yT, step_blk, ctr_blk, kks, s_count):
+                # ONE full-k gather feeds s_count sweeps; the per-sweep
+                # column-group rotation is IDENTICAL to the fresh path
+                # (mutual pairs keep alternating directions every
+                # sweep — same-group blocks were A/B-measured worse:
+                # tools/ab_gather_reuse.py, 20k manifold)
+                yj_full = yT[:, idxT_full]             # (d, k, n)
+                yj_by_group = [
+                    jax.lax.slice_in_dim(yj_full, c * kg, (c + 1) * kg,
+                                         axis=1)
+                    for c in range(n_groups)]
+                for s in range(s_count):
+                    rot = (ctr_blk + s) % n_groups
+                    yT = _one_stale_sweep(yT, kks[s], step_blk + s,
+                                          rot, yj_by_group)
+                return yT
 
             n_full, rem = seg_steps // S, seg_steps % S
             keys_full = keys[:n_full * S].reshape(
                 (n_full, S) + keys.shape[1:])
-            branches_full = [_make_blk(c, S) for c in range(n_groups)]
-
-            def rot_blk(sweep_ctr):
-                # same column group for the whole block; blocks
-                # round-robin.  sweep_ctr // S keeps rotation coherent
-                # across segments (segment sizes are S-aligned except
-                # the final remainder).
-                return (sweep_ctr // S) % n_groups
 
             def body_stale(yT, args):
                 blk_idx, kks = args
                 step_blk = step0 + blk_idx * S
                 ctr = rot0 + blk_idx * S if use_rot0 else step_blk
-                yT = jax.lax.switch(rot_blk(ctr), branches_full, yT,
-                                    step_blk, kks)
-                return yT, None
+                return _stale_block(yT, step_blk, ctr, kks, S), None
 
             yT = y0.astype(jnp.float32).T
             if n_full > 0:
@@ -749,12 +759,9 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                     (jnp.arange(n_full, dtype=jnp.int32), keys_full))
             if rem > 0:
                 step_blk = jnp.int32(step0 + n_full * S)
-                ctr = (rot0 + n_full * S if use_rot0
-                       else step_blk)
-                branches_rem = [_make_blk(c, rem)
-                                for c in range(n_groups)]
-                yT = jax.lax.switch(rot_blk(ctr), branches_rem, yT,
-                                    step_blk, keys[n_full * S:])
+                ctr = (rot0 + n_full * S if use_rot0 else step_blk)
+                yT = _stale_block(yT, step_blk, ctr,
+                                  keys[n_full * S:], rem)
             return yT.T
 
         def make_branch_t(c):
@@ -878,7 +885,8 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
                    n_blocks: int = 1, packed_gather: bool = False,
                    neighbor_exclusion: bool = True,
                    parallel_kicks: bool = False,
-                   gather_reuse: int = 1):
+                   gather_reuse: int = 1,
+                   gather_reuse_after: float = 0.0):
     """Run batches [batch0, batch1) of the global nb_grad_batch
     schedule at this n_sub (defaults = the whole schedule).  Returns
     the updated coordinates; ``rot_base`` (global sweep counter at
@@ -898,40 +906,59 @@ def dense_optimize(y0, indices, w, m_visit, w_rev, m_rev_visit,
     if gather_reuse > 1 and (not scatter_free or n_blocks > 1):
         raise ValueError("gather_reuse > 1 requires the transposed "
                          "scatter-free path with n_blocks=1")
+    # stale-gather activation step: sweeps whose GLOBAL batch index is
+    # within the first gather_reuse_after fraction of the schedule run
+    # exact (fresh gather); later sweeps (small gamma, small per-sweep
+    # displacement) run stale.  act is phase-local.
+    act = 0
+    if gather_reuse > 1 and gather_reuse_after > 0.0:
+        boundary = int(gather_reuse_after * nb_grad_batch)  # batches
+        act = min(max((boundary - batch0) * n_sub, 0), total_steps)
     # per-sweep cost scales with the block size, so the per-program
     # sweep cap scales with n_blocks (same device seconds per program)
-    seg = min(total_steps,
+    cap = min(total_steps,
               _segment_cap(max(y0.shape[0] // n_blocks, 1), n_groups))
-    if gather_reuse > 1 and seg > gather_reuse:
-        # S-align segment sizes so every stale block except the run's
-        # final remainder is a full S sweeps (keeps the block rotation
-        # counter coherent across segments)
-        seg -= seg % gather_reuse
-    n_segs = -(-total_steps // seg)
+    ranges = ([(0, total_steps, gather_reuse)] if act == 0 else
+              [(0, act, 1), (act, total_steps, gather_reuse)])
+    # materialize the segment list first so the per-segment key stream
+    # depends only on (total_steps, cap, act) — for gather_reuse=1 it
+    # is identical to the historical single-range segmentation
+    segments = []
+    for lo, hi, s_r in ranges:
+        if hi <= lo:
+            continue
+        seg = cap
+        if s_r > 1 and seg > s_r:
+            # S-align segment sizes so every stale block except the
+            # range's final remainder is a full S sweeps
+            seg -= seg % s_r
+        pos = lo
+        while pos < hi:
+            # the last segment of a range runs only the REMAINING
+            # steps (one extra compile for the remainder shape):
+            # padding it would execute zero-gamma no-op sweeps at full
+            # device cost (~4% of the optimize wall at 2M)
+            segments.append((pos, min(seg, hi - pos), s_r))
+            pos += seg
     y = y0
-    keys = jax.random.split(key, n_segs)
-    for si in range(n_segs):
-        # the last segment runs only the REMAINING steps (one extra
-        # compile for the remainder shape): padding it to seg would
-        # execute up to seg-1 zero-gamma no-op sweeps at full device
-        # cost (~4% of the optimize wall at the 2M operating point)
-        seg_steps = min(seg, total_steps - si * seg)
+    keys = jax.random.split(key, len(segments))
+    for ki, (pos, seg_steps, s_r) in enumerate(segments):
         y = _dense_segment(y, indices, w, m_visit, w_rev, m_rev_visit,
-                           emb_scale, keys[si], neg_weight,
+                           emb_scale, keys[ki], neg_weight,
                            grad_step_init=grad_step_init, b=b,
                            n_sub=n_sub, n_neg=n_neg,
                            nb_grad_batch=nb_grad_batch,
                            n_groups=n_groups, scatter_free=scatter_free,
-                           step0=jnp.int32(si * seg), seg_steps=seg_steps,
+                           step0=jnp.int32(pos), seg_steps=seg_steps,
                            f_min=f_min, mask_p=mask_p, batch0=batch0,
                            rot0=(jnp.int32(0) if rot_base is None
-                                 else jnp.int32(rot_base + si * seg)),
+                                 else jnp.int32(rot_base + pos)),
                            use_rot0=rot_base is not None,
                            n_blocks=n_blocks,
                            packed_gather=packed_gather,
                            neighbor_exclusion=neighbor_exclusion,
                            parallel_kicks=parallel_kicks,
-                           gather_reuse=gather_reuse)
+                           gather_reuse=s_r)
     return y
 
 
@@ -1081,7 +1108,10 @@ def run_dense_optimization(y0, g: KGraph, npar: NodeParams,
                                  params, "dense_parallel_kicks",
                                  False)),
                              gather_reuse=max(int(getattr(
-                                 params, "dense_gather_reuse", 1)), 1))
+                                 params, "dense_gather_reuse", 1)), 1),
+                             gather_reuse_after=float(getattr(
+                                 params, "dense_gather_reuse_after",
+                                 0.0)))
         executed = max(min(batch_cursor + nb_p, nb_total - 1)
                        - batch_cursor, 0) * s_p
         rot += executed

@@ -161,6 +161,14 @@ class EmbedderParams:
     #: batch stale).  1 = exact synchronous sweeps (default);
     #: conservation at S>1 is A/B-measured per operating point.
     dense_gather_reuse: int = 1
+    #: fraction of the global batch schedule that runs EXACT (fresh
+    #: gather every sweep) before stale reuse activates.  Early
+    #: batches have large gamma — big per-sweep displacements make
+    #: S-sweep-old neighbour positions genuinely wrong and the 20k
+    #: manifold A/B shows the conservation cost concentrates there;
+    #: late batches polish with tiny steps where staleness is
+    #: invisible.  0.0 = stale from the first sweep.
+    dense_gather_reuse_after: float = 0.0
 
     def log(self) -> None:
         logger.info("EmbedderParams: %s", dataclasses.asdict(self))

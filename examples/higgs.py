@@ -188,6 +188,10 @@ def main():
                          "gather that is 65%% of the 11M sweep; "
                          "neighbour positions <= S-1 sweeps stale "
                          "(within the reference's Hogwild envelope)")
+    ap.add_argument("--gather-reuse-after", type=float, default=0.0,
+                    help="fraction of the batch schedule run exact "
+                         "before stale reuse activates "
+                         "(dense_gather_reuse_after)")
     ap.add_argument("--packed-gather", action="store_true",
                     help="pack the (2, n) coordinates into complex64 "
                          "for the neighbour gather (bit-exact; halves "
@@ -310,6 +314,8 @@ def main():
                                   dense_parallel_kicks=args.parallel_kicks,
                                   dense_packed_gather=args.packed_gather,
                                   dense_gather_reuse=args.gather_reuse,
+                                  dense_gather_reuse_after=(
+                                      args.gather_reuse_after),
                                   n_sub_schedule=parse_schedule(
                                       args.schedule, args.batch,
                                       args.n_sub)))
