@@ -57,9 +57,9 @@ def main():
     ap.add_argument("--k", type=int, default=6)
     ap.add_argument("--n-neg", type=int, default=5,
                     help="kicks per sweep (n_sub=60 phase value)")
-    ap.add_argument("--sweeps", type=int, default=12,
-                    help="scan steps per full-sweep timing (12 = LCM "
-                         "of the gather_reuse block sizes 2/4/6, so "
+    ap.add_argument("--sweeps", type=int, default=24,
+                    help="scan steps per full-sweep timing (24 = LCM "
+                         "of the gather_reuse block sizes 4/8/12, so "
                          "every reuse row amortizes exactly)")
     args = ap.parse_args()
 
@@ -171,10 +171,10 @@ def main():
         ("packed_gather", {"packed_gather": True}),
         # stale-gather lever: one neighbour gather per S sweeps (the
         # gather is 65% of the sweep; predicted s/sweep ~ 0.185/S+0.10)
-        ("gather_reuse_2", {"gather_reuse": 2}),
         ("gather_reuse_4", {"gather_reuse": 4}),
-        ("gather_reuse_6", {"gather_reuse": 6}),
-        ("gather_reuse_4_excl_off", {"gather_reuse": 4,
+        ("gather_reuse_8", {"gather_reuse": 8}),
+        ("gather_reuse_12", {"gather_reuse": 12}),
+        ("gather_reuse_8_excl_off", {"gather_reuse": 8,
                                      "neighbor_exclusion": False}),
     ):
         def run(y0=y0, kw=kw):
