@@ -282,7 +282,8 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                                seg_steps: int, batch0: int = 0,
                                use_rot0: bool = False,
                                packed_gather: bool = False,
-                               parallel_kicks: bool = False):
+                               parallel_kicks: bool = False,
+                               gather_reuse: int = 1):
     """One jitted multi-sweep segment of the PRODUCTION dense schedule,
     row-sharded over the mesh.
 
@@ -333,7 +334,7 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                 w_revT=w_rev[:, sl].T, m_revT=m_rev[:, sl].T,
                 scale_jT=emb_scale[idx_g].T))
 
-        def make_branch(c):
+        def make_branch(c, yj_by_group=None):
             gd = groups[c]
 
             def branch(yT, gamma, mask):
@@ -348,7 +349,9 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
                     yT, gd["idxT"], gd["wT"], gd["mT"], gd["w_revT"],
                     gd["m_revT"], scale_iT, gd["scale_jT"], gamma, b,
                     f_min=f_min, mask=mask, mask_p=mask_p, y_ownT=yiT,
-                    yzT=yz)
+                    yzT=yz,
+                    yjT=(None if yj_by_group is None
+                         else yj_by_group[c]))
                 return yiT + delta
 
             return branch
@@ -360,7 +363,7 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
 
         pos_local = jnp.arange(m_rows, dtype=jnp.int32)
 
-        def body(yT, args):
+        def body(yT, args, yj_by_group=None):
             local_idx, kk = args
             step_idx = step0 + local_idx
             batch_idx = batch0 + step_idx // n_sub + 1
@@ -375,7 +378,10 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
             else:
                 mask = None
             rot = (rot0 + local_idx if use_rot0 else step_idx) % n_groups
-            rowsT = jax.lax.switch(rot, branches, yT, gamma, mask)
+            brs = (branches if yj_by_group is None else
+                   [make_branch(c, yj_by_group)
+                    for c in range(n_groups)])
+            rowsT = jax.lax.switch(rot, brs, yT, gamma, mask)
             yT = gather_rows(rowsT)
 
             # repulsion: per-kick contiguous window of the replicated
@@ -437,6 +443,40 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
         y0T = y0.astype(jnp.float32).T
         y_init = jax.lax.pcast(y0T, ("data",), to="varying") \
             if hasattr(jax.lax, "pcast") else y0T
+        if gather_reuse > 1:
+            # stale-gather blocks, mirroring optim/dense.py: ONE
+            # full-k gather from the replicated snapshot feeds S
+            # sweeps; per-sweep rotation/keys/gamma identical to the
+            # fresh path (single-chip parity holds bit-for-bit)
+            S = gather_reuse
+
+            def stale_block(yT, blk0, kks, s_count):
+                yj_full = yT[:, idxT_full]
+                yjg = [jax.lax.slice_in_dim(yj_full, c * kg,
+                                            (c + 1) * kg, axis=1)
+                       for c in range(n_groups)]
+                for s in range(s_count):
+                    yT, _ = body(yT, (blk0 + s, kks[s]),
+                                 yj_by_group=yjg)
+                return yT
+
+            n_full, rem = seg_steps // S, seg_steps % S
+            keys_full = keys[:n_full * S].reshape(
+                (n_full, S) + keys.shape[1:])
+
+            def body_stale(yT, args):
+                blk_idx, kks = args
+                return stale_block(yT, blk_idx * S, kks, S), None
+
+            yT = y_init
+            if n_full:
+                yT, _ = jax.lax.scan(
+                    body_stale, yT,
+                    (jnp.arange(n_full, dtype=jnp.int32), keys_full))
+            if rem:
+                yT = stale_block(yT, jnp.int32(n_full * S),
+                                 keys[n_full * S:], rem)
+            return yT.T
         yT, _ = jax.lax.scan(
             body, y_init,
             (jnp.arange(seg_steps, dtype=jnp.int32), keys))
@@ -546,20 +586,43 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
         total_steps = eff * s_p
         if total_steps == 0:
             return y, 0
+        # stale-gather lever + late activation, SAME range split as
+        # optim/dense.py::dense_optimize (single-chip parity)
+        reuse = max(int(getattr(p, "dense_gather_reuse", 1)), 1)
+        after = float(getattr(p, "dense_gather_reuse_after", 0.0))
+        act = 0
+        if reuse > 1 and after > 0.0:
+            boundary = int(after * nb)
+            act = min(max((boundary - batch0) * s_p, 0), total_steps)
         # the per-program budget scales with PER-DEVICE sweep cost, not
         # the padded global n (each device sweeps its own row shard)
-        seg = min(total_steps,
+        cap = min(total_steps,
                   _segment_cap(y0_r.shape[0] // ndev, n_groups))
-        n_segs = -(-total_steps // seg)
+        ranges = ([(0, total_steps, reuse)] if act == 0 else
+                  [(0, act, 1), (act, total_steps, reuse)])
+        segments = []
+        for lo, hi, s_r in ranges:
+            if hi <= lo:
+                continue
+            seg = cap
+            if s_r > 1 and seg > s_r:
+                seg -= seg % s_r
+            pos = lo
+            while pos < hi:
+                # a range's last segment runs only the remaining steps
+                # (one extra compile) — padding to seg would burn
+                # zero-gamma no-op sweeps, same fix as dense_optimize
+                segments.append((pos, min(seg, hi - pos), s_r))
+                pos += seg
         args = base_args
         if scale_m != 1.0:
             args = (args[0], args[1], args[2] * scale_m, args[3],
                     args[4] * scale_m, args[5], args[6])
         cache = {}
 
-        def make_step(seg_steps):
-            if seg_steps not in cache:
-                cache[seg_steps] = make_sharded_dense_segment(
+        def make_step(seg_steps, s_r):
+            if (seg_steps, s_r) not in cache:
+                cache[(seg_steps, s_r)] = make_sharded_dense_segment(
                     mesh, b=float(p.b), n_sub=s_p, n_neg=n_neg_p,
                     nb_grad_batch=nb, n_groups=n_groups,
                     grad_step_init=float(p.grad_step),
@@ -571,19 +634,16 @@ def sharded_dense_optimize(y0, g, npar, params, mesh: Mesh,
                         bool(getattr(p, "dense_packed_gather", False))
                         and y0_r.shape[1] == 2),
                     parallel_kicks=bool(getattr(
-                        p, "dense_parallel_kicks", False)))
-            return cache[seg_steps]
+                        p, "dense_parallel_kicks", False)),
+                    gather_reuse=s_r)
+            return cache[(seg_steps, s_r)]
 
-        seg_keys = jax.random.split(k_p, n_segs)
-        for si in range(n_segs):
-            # last segment runs only the remaining steps (one extra
-            # compile) — padding to seg would burn zero-gamma no-op
-            # sweeps at full device cost, same fix as dense_optimize
-            seg_steps = min(seg, total_steps - si * seg)
+        seg_keys = jax.random.split(k_p, len(segments))
+        for si, (pos, seg_steps, s_r) in enumerate(segments):
             keys = jax.random.split(seg_keys[si], seg_steps)
-            y = make_step(seg_steps)(y, *args, keys,
-                                     jnp.int32(si * seg),
-                                     jnp.int32(rot_base + si * seg))
+            y = make_step(seg_steps, s_r)(y, *args, keys,
+                                          jnp.int32(pos),
+                                          jnp.int32(rot_base + pos))
         return y, total_steps
 
     y = jax.device_put(y0_r, rep)

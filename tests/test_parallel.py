@@ -466,3 +466,38 @@ def test_sharded_parallel_kicks_runs(rng, mesh):
                                 npar.scale, 1.0))
     ce_1 = float(ce_value_dense(y_1, g, npar.probas, npar.scale, 1.0))
     assert ce_s < ce_1 * 1.1, (ce_s, ce_1)
+
+
+def test_sharded_gather_reuse_matches_single(rng, mesh):
+    """dense_gather_reuse (+ late activation) on the sharded production
+    path: mirrors optim/dense.py's stale-block structure — finite,
+    separates, and lands in the single-chip stale path's CE basin with
+    identical sweep accounting."""
+    from annembed_tpu.graph.proba import to_proba_edges
+    from annembed_tpu.params import EmbedderParams
+    from annembed_tpu.parallel.sharded import sharded_dense_optimize
+    from annembed_tpu.optim.dense import run_dense_optimization
+    from annembed_tpu.optim.ce import ce_value_dense
+    centers = rng.normal(size=(2, 8)) * 12
+    x = np.concatenate([centers[i] + rng.normal(size=(128, 8))
+                        for i in range(2)]).astype(np.float32)
+    labels = np.repeat(np.arange(2), 128)
+    idx, dist = knn_graph_brute(x, k=4)
+    g = KGraph(indices=idx, dists=dist)
+    npar = to_proba_edges(g)
+    y0 = jnp.asarray(rng.uniform(-5, 5, (256, 2)).astype(np.float32))
+    p = EmbedderParams(nb_grad_batch=8, n_sub_schedule=((4, 24), (4, 48)),
+                       dense_gather_reuse=4,
+                       dense_gather_reuse_after=0.5)
+    y = np.asarray(sharded_dense_optimize(y0, g, npar, p, mesh))
+    assert np.isfinite(y).all()
+    mus = np.stack([y[labels == i].mean(0) for i in range(2)])
+    acc = (np.linalg.norm(y[:, None] - mus[None], axis=-1).argmin(1)
+           == labels).mean()
+    assert acc > 0.9, acc
+    y1, info = run_dense_optimization(y0, g, npar, p, n_sub=24)
+    assert info["gather_reuse"] == 4
+    ce_sharded = float(ce_value_dense(jnp.asarray(y), g, npar.probas,
+                                      npar.scale, 1.0))
+    ce_single = float(ce_value_dense(y1, g, npar.probas, npar.scale, 1.0))
+    assert ce_sharded < ce_single * 1.1, (ce_sharded, ce_single)
