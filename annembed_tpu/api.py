@@ -61,7 +61,19 @@ def _chunked_readback(y_dev, rows_per_chunk: int = 1_000_000) -> np.ndarray:
         return np.asarray(y_dev)
     parts = []
     for i0 in range(0, n, rows_per_chunk):
-        parts.append(np.asarray(y_dev[i0:i0 + rows_per_chunk]))
+        try:
+            parts.append(np.asarray(y_dev[i0:i0 + rows_per_chunk]))
+        except Exception as e:  # pragma: no cover - device-dependent
+            # the per-chunk SLICE allocates a device buffer; at peak
+            # HBM residency (observed: 11M run with the stale-gather
+            # prefetch) that can RESOURCE_EXHAUST even though the
+            # whole-array transfer needs no new device memory — fall
+            # back to the direct buffer readback
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logger.warning("chunked readback OOM at row %d; "
+                           "whole-array fallback", i0)
+            return np.asarray(y_dev)
         logger.info("readback %d/%d rows", min(i0 + rows_per_chunk, n), n)
     return np.concatenate(parts, axis=0)
 
