@@ -730,16 +730,26 @@ def _dense_segment(y0, indices, w, m_visit, w_rev, m_rev_visit,
                 # column-group rotation is IDENTICAL to the fresh path
                 # (mutual pairs keep alternating directions every
                 # sweep — same-group blocks were A/B-measured worse:
-                # tools/ab_gather_reuse.py, 20k manifold)
+                # tools/ab_gather_reuse.py, 20k manifold).  The inner
+                # steps run under lax.scan so the traced body is ONE
+                # sweep — unrolling S sweeps made remote compiles ~S x
+                # slower (observed: multi-minute 1.65M stale-segment
+                # compiles on the tunnel).
                 yj_full = yT[:, idxT_full]             # (d, k, n)
                 yj_by_group = [
                     jax.lax.slice_in_dim(yj_full, c * kg, (c + 1) * kg,
                                          axis=1)
                     for c in range(n_groups)]
-                for s in range(s_count):
+
+                def inner(yT, args):
+                    s, kk = args
                     rot = (ctr_blk + s) % n_groups
-                    yT = _one_stale_sweep(yT, kks[s], step_blk + s,
-                                          rot, yj_by_group)
+                    return _one_stale_sweep(yT, kk, step_blk + s, rot,
+                                            yj_by_group), None
+
+                yT, _ = jax.lax.scan(
+                    inner, yT,
+                    (jnp.arange(s_count, dtype=jnp.int32), kks))
                 return yT
 
             n_full, rem = seg_steps // S, seg_steps % S

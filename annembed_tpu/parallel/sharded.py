@@ -451,13 +451,22 @@ def make_sharded_dense_segment(mesh: Mesh, b: float, n_sub: int,
             S = gather_reuse
 
             def stale_block(yT, blk0, kks, s_count):
+                # inner steps under lax.scan: the traced body is ONE
+                # sweep (unrolling made remote compiles ~S x slower,
+                # see optim/dense.py::_stale_block)
                 yj_full = yT[:, idxT_full]
                 yjg = [jax.lax.slice_in_dim(yj_full, c * kg,
                                             (c + 1) * kg, axis=1)
                        for c in range(n_groups)]
-                for s in range(s_count):
-                    yT, _ = body(yT, (blk0 + s, kks[s]),
-                                 yj_by_group=yjg)
+
+                def inner(yT, args):
+                    s, kk = args
+                    yT, _ = body(yT, (blk0 + s, kk), yj_by_group=yjg)
+                    return yT, None
+
+                yT, _ = jax.lax.scan(
+                    inner, yT,
+                    (jnp.arange(s_count, dtype=jnp.int32), kks))
                 return yT
 
             n_full, rem = seg_steps // S, seg_steps % S
